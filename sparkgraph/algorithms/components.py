@@ -1,0 +1,73 @@
+"""Connected components via hash-min label propagation (Pregel style).
+
+The reference has no CC program (SURVEY.md §2C) — this reuses its SSSP-shaped
+min-combiner machinery: every vertex starts labeled with its own id, each
+superstep broadcasts the label to neighbors, keeps the min, and halts when no
+label changes. Component label = min vertex id in the component (FIXTURES.md
+§4). Frontier-optimized like SSSP: only vertices whose label improved scatter.
+
+Scale notes: rounds needed = graph diameter. For very-high-diameter graphs a
+large-star/small-star contraction (Kiveris et al. 2014) converges in
+O(log² n) rounds; hash-min with frontier pruning is the right default for
+social/link graphs whose diameter is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkgraph.graph import Graph
+from sparkgraph.pregel import Checkpointer, PregelResult, SuperstepLoop, truncate_lineage
+
+
+def connected_components(
+    graph: Graph,
+    max_iter: int = 10_000,
+    checkpointer: Checkpointer | None = None,
+    resume: bool = False,
+) -> PregelResult:
+    """Returns state ``(id, component: long)`` — component = min id reachable."""
+    spark = graph.spark
+    edges = graph.edges_sym
+    loop = SuperstepLoop("connected_components", {}, checkpointer, resume)
+
+    restored = loop.try_resume(spark)
+    if restored is not None:
+        start_step, state = restored
+        state = truncate_lineage(state.select("id", "component", "changed"))
+    else:
+        start_step = 0
+        state = truncate_lineage(
+            graph.vertices.select(
+                "id", F.col("id").alias("component"), F.lit(True).alias("changed")
+            )
+        )
+
+    step = start_step
+    while step < max_iter:
+        loop.step_started()
+        frontier = state.filter("changed").select(
+            F.col("id").alias("src"), F.col("component").alias("flabel")
+        )
+        msgs = edges.join(frontier, "src").select(
+            F.col("dst").alias("id"), F.col("flabel").alias("msg")
+        )
+        mins = msgs.groupBy("id").agg(F.min("msg").alias("mlabel"))
+        new_state = state.drop("changed").join(mins, "id", "left").select(
+            "id",
+            F.least("component", F.coalesce("mlabel", F.col("component"))).alias(
+                "component"
+            ),
+            (F.coalesce("mlabel", F.col("component")) < F.col("component")).alias(
+                "changed"
+            ),
+        )
+        new_state = truncate_lineage(new_state)
+        changed = new_state.filter("changed").count()
+        step += 1
+        state = new_state
+        loop.step_done(state, step, changed=changed)
+        if changed == 0:
+            break
+
+    return loop.finish(state.select("id", "component"), step, converged=True)

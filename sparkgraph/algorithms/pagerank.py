@@ -1,0 +1,129 @@
+"""PageRank as iterative DataFrame scatter/gather (reference operator A13).
+
+Reference semantics (worker/pagerank.go:19-49, SURVEY.md §2-note-1):
+  * runs on the symmetrized unit-weight multigraph (worker/worker.go:164-199);
+  * update ``x ← 0.15/N + 0.85 · Σ_{u→v} x_u / deg(u)`` (pagerank.go:30),
+    N = distinct endpoints (worker/worker.go:532-534);
+  * fixture ("reference") mode: values start at 0 (worker/worker.go:171) and
+    exactly 30 damped updates execute (messages sent supersteps 0..29, updates
+    applied 1..30) — the truncated Neumann series;
+  * no dangling-node mass exists: after symmetrization every vertex has
+    out-degree ≥ 1 (SURVEY.md §1.4.4).
+
+Two halting modes:
+  * mode="reference": fixed ``iterations`` updates from the zeros vector —
+    bit-faithful to the fixture graphs;
+  * mode="convergence": start from the uniform 1/N vector and stop when
+    ``max |x_k − x_{k−1}| < tol`` (BASELINE.json's 1e-6 metric). The damped
+    fixpoint is unique, so both modes agree in the limit.
+
+Spark plan per superstep: one scatter join (edge table pre-partitioned by
+``src``, never reshuffled) + one ``groupBy(dst).sum`` whose map-side partial
+aggregation subsumes the reference's per-VM message combiner
+(worker/worker.go:269-284) + one state outer-join. The shuffle IS the barrier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkgraph.graph import Graph
+from sparkgraph.pregel import Checkpointer, PregelResult, SuperstepLoop, truncate_lineage
+
+
+def pagerank(
+    graph: Graph,
+    mode: str = "reference",
+    iterations: int = 30,
+    tol: float = 1e-6,
+    max_iter: int = 200,
+    damping: float = 0.85,
+    checkpointer: Checkpointer | None = None,
+    resume: bool = False,
+) -> PregelResult:
+    """Returns state ``(id, value)``; ``result.metrics`` carries per-superstep
+    wall time and (in convergence mode) the max-abs delta."""
+    if mode not in ("reference", "convergence"):
+        raise ValueError(f"unknown mode {mode!r}")
+    spark = graph.spark
+    n = graph.num_vertices
+    if n == 0:
+        raise ValueError("graph has no vertices (empty or comment-only input)")
+    teleport = (1.0 - damping) / n
+    edges = graph.edges_sym
+
+    loop = SuperstepLoop(
+        "pagerank",
+        {"mode": mode, "iterations": iterations, "tol": tol, "damping": damping, "n": n},
+        checkpointer,
+        resume,
+    )
+
+    init_value = 0.0 if mode == "reference" else 1.0 / n
+    restored = loop.try_resume(spark)
+    if restored is not None:
+        start_step, state = restored
+        state = truncate_lineage(state.select("id", "deg", "value"))
+    else:
+        start_step = 0
+        state = truncate_lineage(
+            graph.vertices.join(graph.degrees, "id").select(
+                "id", "deg", F.lit(init_value).alias("value")
+            )
+        )
+
+    step = start_step
+    converged = False
+    while True:
+        if mode == "reference":
+            if step >= iterations:
+                break
+        elif step >= max_iter:
+            break
+        loop.step_started()
+        step += 1
+
+        # Scatter (A5): contribution value/deg along every symmetrized edge.
+        src_state = state.select(
+            F.col("id").alias("src"), (F.col("value") / F.col("deg")).alias("contrib")
+        )
+        msgs = edges.join(src_state, "src").select("dst", F.col("contrib").alias("msg"))
+        # Gather (A6+A7): sum per destination; partial agg before the shuffle.
+        sums = msgs.groupBy(F.col("dst").alias("id")).agg(F.sum("msg").alias("msum"))
+        # Apply (A8): damped update; vertices with no messages get teleport only.
+        new_state = (
+            state.join(sums, "id", "left")
+            .select(
+                "id",
+                "deg",
+                (
+                    F.lit(teleport) + F.lit(damping) * F.coalesce("msum", F.lit(0.0))
+                ).alias("value"),
+                F.col("value").alias("prev"),
+            )
+        )
+        new_state = truncate_lineage(new_state)
+
+        delta = None
+        if mode == "convergence":
+            delta = new_state.agg(
+                F.max(F.abs(F.col("value") - F.col("prev")))
+            ).collect()[0][0]
+        state = new_state.drop("prev")
+        loop.step_done(state, step, delta=delta)
+        if mode == "convergence" and delta is not None and delta < tol:
+            converged = True
+            break
+
+    if mode == "reference":
+        converged = True  # fixed-iteration contract fulfilled
+    return loop.finish(state.select("id", "value"), step, converged)
+
+
+def top_k(result: DataFrame, k: int = 25) -> DataFrame:
+    """Reference result report (A12): top-k by value descending
+    (master/master.go:334-340 prints top-25 via a max-heap). Spark compiles
+    this to TakeOrderedAndProject — no full sort.
+    """
+    return result.orderBy(F.desc("value"), F.asc("id")).limit(k)

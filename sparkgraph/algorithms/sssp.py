@@ -1,0 +1,79 @@
+"""Single-source shortest paths as a frontier-driven min-plus Pregel loop.
+
+Implements the *intended* semantics of the reference's SSSP vertex program
+(worker/sssp.go:20-44): init dist(source)=0, dist(v)=+∞, relax
+``min(dist(u) + w(u,v))`` each superstep, halt when no distance improves.
+The shipped reference code path is inert — vertices init to 0 instead of +∞
+(worker/worker.go:174,205) and the source id is never forwarded
+(master/master.go:271-292) — see SURVEY.md §2-note-2; we implement the
+Malewicz et al. 2010 §5.2 semantics the reference cites (README.md:2).
+
+With the loader's unit weights (worker/worker.go:165) this is BFS hop count
+on the symmetrized graph. Unreachable vertices keep dist=+∞ (Infinity).
+
+Scale notes: only the *frontier* (vertices improved last superstep) scatters —
+the message volume is O(frontier out-degree), not O(E), per superstep; the
+edge table stays partitioned by src across all supersteps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkgraph.graph import Graph
+from sparkgraph.pregel import Checkpointer, PregelResult, SuperstepLoop, truncate_lineage
+
+_INF = float("inf")
+
+
+def sssp(
+    graph: Graph,
+    source: int,
+    max_iter: int = 10_000,
+    checkpointer: Checkpointer | None = None,
+    resume: bool = False,
+) -> PregelResult:
+    """Returns state ``(id, dist: double)`` — +∞ for unreachable vertices."""
+    spark = graph.spark
+    edges = graph.edges_sym
+    loop = SuperstepLoop("sssp", {"source": source}, checkpointer, resume)
+
+    restored = loop.try_resume(spark)
+    if restored is not None:
+        start_step, state = restored
+        state = truncate_lineage(state.select("id", "dist", "changed"))
+    else:
+        start_step = 0
+        state = truncate_lineage(
+            graph.vertices.select(
+                "id",
+                F.when(F.col("id") == source, 0.0).otherwise(F.lit(_INF)).alias("dist"),
+                (F.col("id") == source).alias("changed"),
+            )
+        )
+
+    step = start_step
+    while step < max_iter:
+        loop.step_started()
+        frontier = state.filter("changed").select(
+            F.col("id").alias("src"), F.col("dist").alias("fdist")
+        )
+        # Scatter from the frontier only: propose dist + weight to neighbors.
+        msgs = edges.join(frontier, "src").select(
+            F.col("dst").alias("id"), (F.col("fdist") + F.col("weight")).alias("msg")
+        )
+        mins = msgs.groupBy("id").agg(F.min("msg").alias("mdist"))
+        new_state = state.drop("changed").join(mins, "id", "left").select(
+            "id",
+            F.least("dist", F.coalesce("mdist", F.lit(_INF))).alias("dist"),
+            (F.coalesce("mdist", F.lit(_INF)) < F.col("dist")).alias("changed"),
+        )
+        new_state = truncate_lineage(new_state)
+        changed = new_state.filter("changed").count()
+        step += 1
+        state = new_state
+        loop.step_done(state, step, changed=changed)
+        if changed == 0:
+            break
+
+    return loop.finish(state.select("id", "dist"), step, converged=True)

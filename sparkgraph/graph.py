@@ -1,0 +1,122 @@
+"""Graph abstraction over an edge DataFrame.
+
+Maps the reference's per-worker vertex/adjacency maps (worker/worker.go:51,66)
+onto persisted, hash-partitioned DataFrames:
+
+  * ``edges_sym`` — the symmetrized multigraph view (operator A2,
+    worker/worker.go:164-199): every input edge emitted in BOTH directions,
+    duplicates KEPT. Persisted and pre-partitioned by ``src`` so the
+    per-superstep scatter join never reshuffles the (large) edge side.
+  * ``vertices`` — distinct endpoint ids (operator A11,
+    worker/worker.go:146-147): vertices exist only if they appear in ≥1 edge.
+  * ``degrees`` — out-degree on the symmetrized view (counts parallel edges),
+    the divisor of PageRank's scatter (worker/pagerank.go:37-43).
+
+At cluster scale the partition count should be sized so each edge partition
+fits comfortably in executor memory; AQE coalesces the shuffle side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+class Graph:
+    def __init__(
+        self,
+        edges: DataFrame,
+        num_partitions: int | None = None,
+        persist: bool = True,
+    ):
+        """``edges``: (src: long, dst: long[, weight: double]) directed input
+        edges. The symmetrized view is derived lazily; weight defaults to 1.0.
+        """
+        if "weight" not in edges.columns:
+            edges = edges.withColumn("weight", F.lit(1.0))
+        self.spark = edges.sparkSession
+        self.edges = edges.select("src", "dst", "weight")
+        if num_partitions is None:
+            num_partitions = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        self.num_partitions = num_partitions
+        self._persist = persist
+        self._edges_sym: DataFrame | None = None
+        self._vertices: DataFrame | None = None
+        self._degrees: DataFrame | None = None
+        self._num_vertices: int | None = None
+
+    # -- derived views ----------------------------------------------------
+
+    @property
+    def edges_sym(self) -> DataFrame:
+        """Symmetrized multigraph: edges ∪ reverse(edges), NO dedup (A2)."""
+        if self._edges_sym is None:
+            rev = self.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+            sym = self.edges.unionByName(rev).repartition(
+                self.num_partitions, F.col("src")
+            )
+            if self._persist:
+                sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+            self._edges_sym = sym
+        return self._edges_sym
+
+    @property
+    def vertices(self) -> DataFrame:
+        """(id: long) — every distinct endpoint (A11)."""
+        if self._vertices is None:
+            v = (
+                self.edges.select(F.col("src").alias("id"))
+                .unionByName(self.edges.select(F.col("dst").alias("id")))
+                .distinct()
+                .repartition(self.num_partitions, F.col("id"))
+            )
+            if self._persist:
+                v = v.persist(StorageLevel.MEMORY_AND_DISK)
+            self._vertices = v
+        return self._vertices
+
+    @property
+    def degrees(self) -> DataFrame:
+        """(id: long, deg: long) — symmetrized out-degree, parallel edges count.
+
+        After symmetrization every vertex has deg ≥ 1 (SURVEY.md §1.4.4), so
+        PageRank has no dangling-mass term.
+        """
+        if self._degrees is None:
+            d = self.edges_sym.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("deg")
+            )
+            if self._persist:
+                d = d.persist(StorageLevel.MEMORY_AND_DISK)
+            self._degrees = d
+        return self._degrees
+
+    @property
+    def num_vertices(self) -> int:
+        if self._num_vertices is None:
+            self._num_vertices = self.vertices.count()
+        return self._num_vertices
+
+    # -- helpers -----------------------------------------------------------
+
+    def simple_undirected(self) -> DataFrame:
+        """Deduplicated simple undirected edge set as canonical (u < v) pairs.
+
+        Drops self-loops and parallel edges. Used by triangle counting, which
+        is defined on the simple graph (FIXTURES.md §4 documents the dedup).
+        """
+        return (
+            self.edges.select(
+                F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def unpersist(self) -> None:
+        for df in (self._edges_sym, self._vertices, self._degrees):
+            if df is not None:
+                df.unpersist()

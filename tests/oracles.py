@@ -1,0 +1,132 @@
+"""Tiny pure-Python/numpy oracles for golden-fixture tests (FIXTURES.md §4).
+
+Each oracle independently implements the reference's semantics from first
+principles over an in-memory edge list, so DataFrame results can be checked
+against them without trusting any shared code path.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict, deque
+
+INF = float("inf")
+
+
+def symmetrize(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Both directions, duplicates kept (worker/worker.go:164-199)."""
+    return list(pairs) + [(d, s) for s, d in pairs]
+
+
+def pagerank_oracle(
+    pairs: list[tuple[int, int]],
+    iterations: int = 30,
+    damping: float = 0.85,
+    init: str = "zeros",
+    tol: float | None = None,
+) -> dict[int, float]:
+    """Reference-mode PageRank: zeros init, fixed damped updates
+    (worker/pagerank.go:30, SURVEY.md §2-note-1). With ``tol`` set, iterate
+    from the given init until max-abs delta < tol instead.
+    """
+    sym = symmetrize(pairs)
+    nodes = sorted({v for e in sym for v in e})
+    n = len(nodes)
+    deg = Counter(s for s, _ in sym)
+    x = {v: (0.0 if init == "zeros" else 1.0 / n) for v in nodes}
+    k = 0
+    while True:
+        if tol is None and k >= iterations:
+            break
+        sums = defaultdict(float)
+        for s, d in sym:
+            sums[d] += x[s] / deg[s]
+        new = {v: (1 - damping) / n + damping * sums[v] for v in nodes}
+        delta = max(abs(new[v] - x[v]) for v in nodes)
+        x = new
+        k += 1
+        if tol is not None and delta < tol:
+            break
+        if tol is not None and k > 10_000:
+            raise RuntimeError("oracle did not converge")
+    return x
+
+
+def bfs_oracle(pairs: list[tuple[int, int]], source: int) -> dict[int, float]:
+    """Unit-weight SSSP = BFS hops on the symmetrized graph; unreachable = inf."""
+    adj = defaultdict(set)
+    for s, d in symmetrize(pairs):
+        adj[s].add(d)
+    nodes = sorted({v for e in pairs for v in e})
+    dist = {v: INF for v in nodes}
+    dist[source] = 0.0
+    q = deque([source])
+    while q:
+        u = q.popleft()
+        for w in adj[u]:
+            if dist[w] == INF:
+                dist[w] = dist[u] + 1.0
+                q.append(w)
+    return dist
+
+
+def components_oracle(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find; component label = min vertex id in the component."""
+    parent: dict[int, int] = {}
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    nodes = {v for e in pairs for v in e}
+    for v in nodes:
+        parent[v] = v
+    for s, d in pairs:
+        ra, rb = find(s), find(d)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for v in nodes:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    return {v: comp_min[find(v)] for v in nodes}
+
+
+def lpa_oracle(pairs: list[tuple[int, int]], max_iter: int = 10) -> dict[int, int]:
+    """Synchronous LPA, multiplicity-weighted, min-label tie-break, early exit
+    on fixpoint — mirrors sparkgraph.algorithms.lpa's contract exactly."""
+    sym = symmetrize(pairs)
+    adj = defaultdict(list)
+    for s, d in sym:
+        adj[s].append(d)
+    nodes = sorted({v for e in sym for v in e})
+    label = {v: v for v in nodes}
+    for _ in range(max_iter):
+        new = {}
+        for v in nodes:
+            counts = Counter(label[u] for u in adj[v])
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        if new == label:
+            break
+        label = new
+    return label
+
+
+def triangles_oracle(pairs: list[tuple[int, int]]) -> int:
+    """Brute force O(V³) on the deduped simple undirected graph."""
+    edges = {(min(s, d), max(s, d)) for s, d in pairs if s != d}
+    nodes = sorted({v for e in edges for v in e})
+    eset = set(edges)
+    count = 0
+    for i, a in enumerate(nodes):
+        for j in range(i + 1, len(nodes)):
+            b = nodes[j]
+            if (a, b) not in eset:
+                continue
+            for k in range(j + 1, len(nodes)):
+                c = nodes[k]
+                if (a, c) in eset and (b, c) in eset:
+                    count += 1
+    return count
