@@ -70,4 +70,4 @@ def connected_components(
         if changed == 0:
             break
 
-    return loop.finish(state.select("id", "component"), step, converged=True)
+    return loop.finish(state, step, converged=True, result=state.select("id", "component"))

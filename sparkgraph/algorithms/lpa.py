@@ -66,4 +66,4 @@ def label_propagation(
         if changed == 0:
             break
 
-    return loop.finish(state.select("id", "label"), step, converged=True)
+    return loop.finish(state, step, converged=True, result=state.select("id", "label"))

@@ -118,7 +118,7 @@ def pagerank(
 
     if mode == "reference":
         converged = True  # fixed-iteration contract fulfilled
-    return loop.finish(state.select("id", "value"), step, converged)
+    return loop.finish(state, step, converged, result=state.select("id", "value"))
 
 
 def top_k(result: DataFrame, k: int = 25) -> DataFrame:

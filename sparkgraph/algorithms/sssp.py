@@ -76,4 +76,4 @@ def sssp(
         if changed == 0:
             break
 
-    return loop.finish(state.select("id", "dist"), step, converged=True)
+    return loop.finish(state, step, converged=True, result=state.select("id", "dist"))

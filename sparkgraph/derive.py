@@ -1,0 +1,100 @@
+"""Code-graph edge derivation: import/include links + commit co-change.
+
+Pure added surface over the reference (SURVEY.md §2C) — the reference only
+ever reads pre-built edge lists; BASELINE.json's north_star derives the link
+graph from source content instead. Two edge kinds:
+
+  * ``import``  — file A references module B in the same repo. Extraction is
+    a VECTORIZED pandas UDF (Arrow-batched ``Series.str.findall`` per
+    language — no per-row Python, per input_hint), resolved against the
+    repo's own path stems.
+  * ``cochange`` — files sharing a commit, pairwise. Derived relationally by
+    a self-join on commit. Mega-commits (vendored-tree imports etc.) would
+    make this quadratic, so commits touching more than ``max_commit_files``
+    files are dropped — the standard skew guard for this relation; the cap is
+    an explicit, documented parameter.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Per-language import/include patterns (multiline). Each captures the target
+# module stem, resolved against path stems within the same repo.
+IMPORT_PATTERNS = {
+    "py": re.compile(r"^import\s+([A-Za-z_]\w*)", re.M),
+    "c": re.compile(r'^#include\s+"([\w./]+?)(?:\.h)?"', re.M),
+    "java": re.compile(r"^import\s+[\w.]*?([A-Za-z_]\w*)\s*;", re.M),
+}
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_imports(lang: pd.Series, content: pd.Series) -> pd.Series:
+    """Arrow-batched import extraction: one ``findall`` pass per language
+    group within the batch; unknown languages yield empty lists."""
+    out = pd.Series([[]] * len(content), index=content.index, dtype=object)
+    for lg, pat in IMPORT_PATTERNS.items():
+        mask = lang == lg
+        if mask.any():
+            out[mask] = content[mask].str.findall(pat)
+    return out
+
+
+def _path_stem():
+    return F.regexp_extract("path", r"([^/.]+)(?:\.\w+)?$", 1)
+
+
+def derive_import_edges(vertices: DataFrame) -> DataFrame:
+    """``vertices(id, repo, path, lang, content)`` → ``edges(src, dst, weight,
+    kind='import')``. Unresolvable references (no module with that stem in
+    the repo) are dropped; self-imports are dropped."""
+    refs = vertices.select(
+        F.col("id").alias("src"),
+        "repo",
+        F.explode(extract_imports("lang", "content")).alias("module"),
+    )
+    defs = vertices.select(
+        F.col("id").alias("dst"), "repo", _path_stem().alias("module")
+    )
+    return (
+        refs.join(defs, ["repo", "module"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", F.lit(1.0).alias("weight"), F.lit("import").alias("kind"))
+        .distinct()
+    )
+
+
+def derive_cochange_edges(
+    memberships: DataFrame, max_commit_files: int = 100
+) -> DataFrame:
+    """``(commit, id)`` memberships → pairwise ``edges(src, dst, weight,
+    kind='cochange')`` with src < dst, deduped across commits."""
+    sized = memberships.groupBy("commit").agg(F.count(F.lit(1)).alias("nf"))
+    ok = memberships.join(
+        sized.filter(F.col("nf") <= max_commit_files).select("commit"), "commit"
+    )
+    a = ok.select("commit", F.col("id").alias("src"))
+    b = ok.select("commit", F.col("id").alias("dst"))
+    return (
+        a.join(b, "commit")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .select("src", "dst", F.lit(1.0).alias("weight"), F.lit("cochange").alias("kind"))
+    )
+
+
+def derive_code_edges(
+    vertices: DataFrame, memberships: DataFrame, max_commit_files: int = 100
+) -> DataFrame:
+    """Full derived edge table: import ∪ cochange (both kinds kept — a pair
+    linked both ways appears twice, consistent with the loader's
+    keep-parallel-edges semantics)."""
+    return derive_import_edges(vertices).unionByName(
+        derive_cochange_edges(memberships, max_commit_files)
+    )

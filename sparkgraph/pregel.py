@@ -44,7 +44,8 @@ def partition_lineage(df: DataFrame, cols: list[str]) -> list[dict]:
         .groupBy("pid")
         .agg(
             F.count(F.lit(1)).alias("rows"),
-            F.sum("h").alias("value_hash"),
+            # XOR-fold: order-insensitive and overflow-free under ANSI mode
+            F.bit_xor("h").alias("value_hash"),
         )
         .collect()
     )
@@ -163,6 +164,7 @@ class SuperstepLoop:
         self.resume = resume
         self.metrics: list[SuperstepMetrics] = []
         self._t0 = time.monotonic()
+        self._last_saved: int | None = None
 
     def try_resume(self, spark) -> tuple[int, DataFrame] | None:
         if not (self.resume and self.checkpointer):
@@ -198,12 +200,20 @@ class SuperstepLoop:
             self.checkpointer.save(
                 state, superstep, self.metrics, self.algorithm, self.params
             )
+            self._last_saved = superstep
 
-    def finish(self, state: DataFrame, superstep: int, converged: bool) -> PregelResult:
-        if self.checkpointer:
+    def finish(
+        self, state: DataFrame, superstep: int, converged: bool, result: DataFrame | None = None
+    ) -> PregelResult:
+        """``state`` is the FULL loop state (all columns a resume needs);
+        ``result`` is the user-facing projection (defaults to ``state``)."""
+        if self.checkpointer and self._last_saved != superstep:
             self.checkpointer.save(
                 state, superstep, self.metrics, self.algorithm, self.params
             )
         return PregelResult(
-            state=state, supersteps=superstep, converged=converged, metrics=self.metrics
+            state=result if result is not None else state,
+            supersteps=superstep,
+            converged=converged,
+            metrics=self.metrics,
         )
