@@ -1,0 +1,101 @@
+"""Embedding similarity search over an ``array<float>`` column.
+
+Two paths (SURVEY.md §2C added surface):
+  * ``cosine_brute`` / ``cosine_topk`` — exact: per-row cosine against a
+    broadcast query vector, computed with JVM higher-order functions
+    (``zip_with`` + ``aggregate`` in double precision — no Python, no UDF).
+  * ``lsh_bucketed_topk`` — scale path: random-hyperplane LSH signatures
+    bucket the corpus; only the query's bucket (and optionally its Hamming-1
+    neighbors) is scanned. Hyperplanes are derived deterministically from a
+    seed via xxhash64, so signatures are reproducible with no stored model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def with_cosine(
+    df: DataFrame, query: list[float], vec_col: str = "embedding"
+) -> DataFrame:
+    """Adds ``cosine`` (double) against the constant query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.withColumn(
+        "cosine", _dot(v, q) / (_norm(v) * _norm(q))
+    )
+
+
+def cosine_topk(
+    df: DataFrame, query: list[float], k: int = 10, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine (TakeOrderedAndProject — no full sort)."""
+    return (
+        with_cosine(df, query, vec_col)
+        .select(id_col, F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_signature(
+    df: DataFrame, dim: int, n_planes: int = 16, seed: int = 7,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: bit p of ``sig`` = [v · h_p ≥ 0], where
+    h_p[i] = centered hash of (seed, p, i) — deterministic, model-free."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        comps = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                F.xxhash64(F.lit(seed), F.lit(p), i) % 10_000_000
+            ).cast("double")
+            / 10_000_000.0
+            - 0.5,
+        )
+        dot = _dot(v, comps)
+        sig = sig + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.withColumn("sig", sig)
+
+
+def lsh_bucketed_topk(
+    df: DataFrame, query: list[float], k: int = 10, n_planes: int = 12,
+    seed: int = 7, id_col: str = "vec_id", vec_col: str = "embedding",
+    hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose hyperplane signature is
+    within ``hamming`` bits of the query's. Recall improves with more probes
+    (hamming buckets); cost is |bucket| instead of |corpus|."""
+    dim = len(query)
+    spark = df.sparkSession
+    signed = hyperplane_signature(df, dim, n_planes, seed, vec_col)
+    qdf = hyperplane_signature(
+        spark.createDataFrame([(query,)], f"{vec_col} array<double>"),
+        dim, n_planes, seed, vec_col,
+    )
+    qsig = qdf.collect()[0]["sig"]
+    probes = [qsig]
+    if hamming >= 1:
+        probes += [qsig ^ (1 << p) for p in range(n_planes)]
+    bucket = signed.filter(F.col("sig").isin(probes))
+    return cosine_topk(bucket, query, k, id_col, vec_col)
