@@ -1,0 +1,94 @@
+"""Headline benchmark: runs the engine's flagship jobs at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit", "queries", "sf", "extra"}.
+
+Headliners (chosen to mirror BASELINE.md's published experiment — iterative
+PageRank throughput — plus the operators that stress shuffle/skew):
+  pagerank10_bipartite   10 supersteps on the sf bipartite graph
+  pagerank10_powerlaw    10 supersteps on a seeded power-law graph (hub skew)
+  sssp_bipartite         BFS to fixpoint
+  cc_bipartite           hash-min to fixpoint
+  triangles_suppliers    oriented wedge join
+  dedup_minhash_docs     MinHash-LSH banded near-dup pairs on documents
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparkgraph.session import get_spark
+from sparkgraph.graph import Graph
+from sparkgraph.algorithms import pagerank, sssp, connected_components
+from sparkgraph.algorithms.triangles import triangle_count
+from sparkgraph.io.synth import powerlaw_edges
+from sparkgraph.text import minhash_lsh_pairs
+import __spark_entry__ as entrymod
+
+POWERLAW_EDGES = int(os.environ.get("BENCH_POWERLAW_EDGES", 2_000_000))
+POWERLAW_VERTS = int(os.environ.get("BENCH_POWERLAW_VERTS", 200_000))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("sparkgraph-bench")
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # -- bipartite graph jobs ------------------------------------------------
+    g_bip = Graph(entrymod.bipartite_edges(spark, sf_dir))
+    n_edges_bip = g_bip.edges_sym.count()  # materializes the persisted sym view
+
+    timed("pagerank10_bipartite", lambda: pagerank(g_bip, mode="reference", iterations=10).state.count())
+    extra["pagerank_bipartite_edges_per_sec"] = round(
+        10 * n_edges_bip / timings["pagerank10_bipartite"], 1
+    )
+    extra["pagerank_bipartite_supersteps_per_sec"] = round(
+        10 / timings["pagerank10_bipartite"], 3
+    )
+    timed("sssp_bipartite", lambda: sssp(g_bip, source=1).state.count())
+    timed("cc_bipartite", lambda: connected_components(g_bip).state.count())
+
+    # -- power-law (hub-skew) PageRank ---------------------------------------
+    g_pl = Graph(powerlaw_edges(spark, POWERLAW_EDGES, POWERLAW_VERTS))
+    n_edges_pl = g_pl.edges_sym.count()
+    timed("pagerank10_powerlaw", lambda: pagerank(g_pl, mode="reference", iterations=10).state.count())
+    extra["pagerank_powerlaw_edges_per_sec"] = round(
+        10 * n_edges_pl / timings["pagerank10_powerlaw"], 1
+    )
+
+    # -- supplier triangles + document dedup ---------------------------------
+    g_sup = Graph(entrymod.supplier_edges(spark, sf_dir))
+    timed("triangles_suppliers", lambda: triangle_count(g_sup))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    timed("dedup_minhash_docs", lambda: minhash_lsh_pairs(docs, threshold=0.5).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
