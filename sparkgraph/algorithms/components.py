@@ -49,7 +49,7 @@ def connected_components(
         frontier = state.filter("changed").select(
             F.col("id").alias("src"), F.col("component").alias("flabel")
         )
-        msgs = edges.join(frontier, "src").select(
+        msgs = edges.join(frontier.hint("shuffle_hash"), "src").select(
             F.col("dst").alias("id"), F.col("flabel").alias("msg")
         )
         mins = msgs.groupBy("id").agg(F.min("msg").alias("mlabel"))

@@ -47,7 +47,9 @@ def label_propagation(
     while step < max_iter:
         loop.step_started()
         src_labels = state.select(F.col("id").alias("src"), "label")
-        msgs = edges.join(src_labels, "src").select(F.col("dst").alias("id"), "label")
+        msgs = edges.join(src_labels.hint("shuffle_hash"), "src").select(
+            F.col("dst").alias("id"), "label"
+        )
         counts = msgs.groupBy("id", "label").agg(F.count(F.lit(1)).alias("cnt"))
         # Most frequent label, min-label tie-break: max of (cnt, -label).
         winners = counts.groupBy("id").agg(

@@ -88,7 +88,11 @@ def pagerank(
         src_state = state.select(
             F.col("id").alias("src"), (F.col("value") / F.col("deg")).alias("contrib")
         )
-        msgs = edges.join(src_state, "src").select("dst", F.col("contrib").alias("msg"))
+        # shuffle-hash: build on the (small) state side, stream the persisted
+        # pre-partitioned edge side without re-sorting it each superstep
+        msgs = edges.join(src_state.hint("shuffle_hash"), "src").select(
+            "dst", F.col("contrib").alias("msg")
+        )
         # Gather (A6+A7): sum per destination; partial agg before the shuffle.
         sums = msgs.groupBy(F.col("dst").alias("id")).agg(F.sum("msg").alias("msum"))
         # Apply (A8): damped update; vertices with no messages get teleport only.

@@ -59,7 +59,7 @@ def sssp(
             F.col("id").alias("src"), F.col("dist").alias("fdist")
         )
         # Scatter from the frontier only: propose dist + weight to neighbors.
-        msgs = edges.join(frontier, "src").select(
+        msgs = edges.join(frontier.hint("shuffle_hash"), "src").select(
             F.col("dst").alias("id"), (F.col("fdist") + F.col("weight")).alias("msg")
         )
         mins = msgs.groupBy("id").agg(F.min("msg").alias("mdist"))

@@ -55,8 +55,13 @@ class Graph:
             rev = self.edges.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
             )
-            sym = self.edges.unionByName(rev).repartition(
-                self.num_partitions, F.col("src")
+            # partitioned by src (scatter-join key) and pre-sorted within
+            # partitions so a sort-merge scatter join never re-sorts the big
+            # edge side inside the superstep loop
+            sym = (
+                self.edges.unionByName(rev)
+                .repartition(self.num_partitions, F.col("src"))
+                .sortWithinPartitions("src")
             )
             if self._persist:
                 sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
