@@ -1,0 +1,113 @@
+"""Two-parallelism scaling evidence (BASELINE.json north_rule).
+
+No real cluster exists in this sandbox, so the N vs 4N executor criterion is
+evidenced as the same job at local[N] and local[4N] on identical input
+(BASELINE.md targets table): each parallelism level runs in its OWN
+subprocess (fresh JVM — no page-cache-warm JVM reuse between levels), timing
+only the superstep loop (graph build/pack excluded, as executor provisioning
+would be).
+
+Usage: python scripts/scaling_bench.py [--n 8] [--edges 8000000]
+Prints one JSON line with throughput at both levels + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from sparkgraph.session import get_spark
+from sparkgraph.graph import Graph
+from sparkgraph.algorithms import pagerank
+from sparkgraph.kernels import pagerank_csr
+from sparkgraph.io.synth import powerlaw_edges
+
+cores = {cores}
+spark = get_spark("scaling", master=f"local[{{cores}}]", shuffle_partitions=32)
+g = Graph(powerlaw_edges(spark, {edges}, {verts}), num_partitions=32)
+n_sym = g.edges_sym.count()   # build + persist the graph (untimed below)
+_ = g.num_vertices
+_ = g.degrees.count()
+
+out = {{"cores": cores, "sym_edges": n_sym}}
+for name, fn in [
+    ("relational", lambda: pagerank(g, mode="reference", iterations={iters})),
+    ("csr", lambda: pagerank_csr(g, mode="reference", iterations={iters})),
+]:
+    t0 = time.monotonic()
+    res = fn()
+    res.state.count()
+    dt = time.monotonic() - t0
+    steps = sorted(m.seconds for m in res.metrics)
+    median = steps[len(steps) // 2]
+    out[name] = {{
+        "seconds": round(dt, 2),
+        "supersteps_per_sec": round({iters} / dt, 3),
+        "edges_per_sec": round({iters} * n_sym / dt, 1),
+        "median_step_seconds": round(median, 3),
+        "steady_edges_per_sec": round(n_sym / median, 1),
+    }}
+spark.stop()
+print("RESULT " + json.dumps(out))
+"""
+
+
+def run_level(cores: int, edges: int, verts: int, iters: int) -> dict:
+    code = _CHILD.format(repo=REPO, cores=cores, edges=edges, verts=verts, iters=iters)
+    env = dict(os.environ)
+    # heap sized to the data (≈0.5 GB per 1M input edges, min 4g): small heaps
+    # GC-stall the loop, undersized ones OOM the aggregation spill
+    env["SPARK_GRAFT_DRIVER_MEM"] = f"{max(4, edges // 2_000_000)}g"
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=1800, env=env,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"child failed (cores={cores}):\n{proc.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8, help="low parallelism (high = 4n)")
+    ap.add_argument("--edges", type=int, default=8_000_000)
+    ap.add_argument("--verts", type=int, default=1_000_000)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--repeat", type=int, default=1)
+    args = ap.parse_args()
+
+    def best(cores: int) -> dict:
+        runs = [run_level(cores, args.edges, args.verts, args.iters) for _ in range(args.repeat)]
+        return min(runs, key=lambda r: r["relational"]["seconds"] + r["csr"]["seconds"])
+
+    low, high = best(args.n), best(4 * args.n)
+    report = {
+        "job": f"pagerank x{args.iters} on seeded power-law "
+               f"({args.edges} input edges, {args.verts} vertices)",
+        "low": low,
+        "high": high,
+        "efficiency": {},
+    }
+    for k in ("relational", "csr"):
+        speedup = high[k]["edges_per_sec"] / low[k]["edges_per_sec"]
+        steady = high[k]["steady_edges_per_sec"] / low[k]["steady_edges_per_sec"]
+        report["efficiency"][k] = {
+            "speedup": round(speedup, 3),
+            "scaling_efficiency": round(speedup / 4.0, 3),
+            "steady_speedup": round(steady, 3),
+            "steady_scaling_efficiency": round(steady / 4.0, 3),
+        }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Document/text operators and embedding similarity vs in-test oracles."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkgraph.similarity import cosine_topk, lsh_bucketed_topk
+from sparkgraph.text import (
+    exact_dedup,
+    language_id,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    token_stats,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", "en"),
+    (1, "the quick brown fox jumps over the lazy cat", "en"),
+    (2, "der hund ist nicht der katze freund und feind", "de"),
+    (3, "le chat est pas pour le chien et la souris", "fr"),
+    (4, "the quick brown fox jumps over the lazy dog", "en"),  # dup of 0
+    (5, "xyzzy plugh qwerty asdf zxcv", "und"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t, _ in DOCS], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup_groups(docs):
+    rows = exact_dedup(docs).collect()
+    by_rep = {r.rep_id: r.dup_count for r in rows}
+    assert by_rep[0] == 2  # docs 0 and 4 identical
+    assert sum(by_rep.values()) == len(DOCS)
+    assert len(rows) == 5
+
+
+def test_token_stats(docs):
+    got = {r.doc_id: r.n_tokens for r in token_stats(docs).collect()}
+    assert got[0] == 9 and got[5] == 5
+
+
+def test_language_id(docs):
+    got = {r.doc_id: r.lang_pred for r in language_id(docs).collect()}
+    want = {i: lg for i, _, lg in DOCS}
+    assert got == want
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = {
+        (r.a, r.b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    }
+    assert pairs[(0, 4)] == 1.0  # exact dup
+    assert (0, 1) in pairs  # one-word change, 7 shingles, 6 shared
+    assert all(a < b for a, b in pairs)
+
+
+def test_minhash_lsh_catches_exact_and_near_dups(docs):
+    got = {(r.a, r.b): r.est_jaccard for r in minhash_lsh_pairs(docs, threshold=0.4).collect()}
+    assert got[(0, 4)] == 1.0
+    assert (0, 1) in got
+    assert (2, 3) not in got
+
+
+def test_simhash_similar_docs_have_close_hashes(docs):
+    h = {r.id: r.simhash for r in simhash(docs).collect()}
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(h[0], h[4]) == 0  # identical
+    assert ham(h[0], h[1]) < ham(h[0], h[5])  # near-dup closer than unrelated
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(100, 16).astype("float32")
+    vecs[3] = vecs[0] + 0.01 * rng.randn(16)  # a near neighbor of vec 0
+    return (
+        spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        ),
+        vecs,
+    )
+
+
+def test_cosine_topk_matches_numpy(vectors):
+    df, vecs = vectors
+    q = vecs[0].astype("float64")
+    got = [(r.vec_id, r.cosine) for r in cosine_topk(df, list(q), k=5).collect()]
+    v = vecs.astype("float64")
+    cos = v @ q / (np.linalg.norm(v, axis=1) * np.linalg.norm(q))
+    want_ids = list(np.argsort(-np.round(cos, 6), kind="stable")[:5])
+    assert [g[0] for g in got] == [int(i) for i in want_ids]
+    assert got[0][0] == 0 and got[1][0] == 3
+    for vid, c in got:
+        assert math.isclose(c, round(float(cos[vid]), 6), abs_tol=2e-6)
+
+
+def test_lsh_bucketed_topk_finds_the_near_neighbor(vectors):
+    df, vecs = vectors
+    got = lsh_bucketed_topk(df, [float(x) for x in vecs[0]], k=3, hamming=1).collect()
+    ids = [r.vec_id for r in got]
+    assert ids[0] == 0  # the query itself shares its own bucket
+    assert 3 in ids  # the planted near neighbor lands within hamming-1
