@@ -1,0 +1,150 @@
+"""Command-line entry point — the reference client's job surface
+(client/client.go:38-49: ``<Application> <DatasetFilename> [source]``) plus
+the new engine's extras, shippable via spark-submit:
+
+    spark-submit --py-files sparkgraph.zip -m sparkgraph.cli ...   # cluster
+    python -m sparkgraph.cli pagerank --input edges.txt            # local
+
+Subcommands: pagerank | sssp | cc | lpa | triangles | ingest.
+Input: an edge-list text file (reference format), a parquet edge table
+(src,dst[,weight]), or — for ``ingest`` — a sources table
+(repo,path,commit,lang,content) from which the code graph is derived.
+
+Build the --py-files archive with ``scripts/package.sh`` (zips the package).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _load_graph(spark, args):
+    from sparkgraph.graph import Graph
+    from sparkgraph.io.edgelist import read_edgelist
+
+    if args.input.endswith(".parquet") or args.format == "parquet":
+        edges = spark.read.parquet(args.input)
+    else:
+        edges = read_edgelist(spark, args.input)
+    return Graph(edges, num_partitions=args.partitions)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="sparkgraph")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, source=False):
+        sp.add_argument("--master", default=None, help="spark master (default local[N])")
+        sp.add_argument("--partitions", type=int, default=None)
+        sp.add_argument("--input", required=True)
+        sp.add_argument("--format", choices=["text", "parquet"], default="text")
+        sp.add_argument("--output", default=None, help="parquet output path")
+        sp.add_argument("--top", type=int, default=25)
+        sp.add_argument("--checkpoint-dir", default=None)
+        sp.add_argument("--resume", action="store_true")
+        if source:
+            sp.add_argument("--source", type=int, required=True)
+
+    sp = sub.add_parser("pagerank")
+    common(sp)
+    sp.add_argument("--mode", choices=["reference", "convergence"], default="reference")
+    sp.add_argument("--iterations", type=int, default=30)
+    sp.add_argument("--tol", type=float, default=1e-6)
+    sp.add_argument("--kernel", choices=["relational", "csr"], default="relational")
+    common(sub.add_parser("sssp"), source=True)
+    common(sub.add_parser("cc"))
+    lp = sub.add_parser("lpa")
+    common(lp)
+    lp.add_argument("--max-iter", type=int, default=10)
+    common(sub.add_parser("triangles"))
+    ing = sub.add_parser("ingest")
+    ing.add_argument("--master", default=None)
+    ing.add_argument("--input", required=True, help="sources table (parquet)")
+    ing.add_argument("--output", required=True, help="output dir for vertices/edges")
+    ing.add_argument("--max-commit-files", type=int, default=100)
+
+    args = p.parse_args(argv)
+
+    from sparkgraph.session import get_spark
+    from sparkgraph.pregel import Checkpointer
+
+    spark = get_spark("sparkgraph-cli", master=args.master)
+    try:
+        if args.cmd == "ingest":
+            from sparkgraph.derive import derive_code_edges
+            from sparkgraph.ingest import (
+                check_id_collisions,
+                commit_memberships,
+                ingest_sources,
+                verify_sha_invariant,
+            )
+
+            src = spark.read.parquet(args.input)
+            verts = ingest_sources(src)
+            bad_sha = verify_sha_invariant(src, verts)
+            collisions = check_id_collisions(verts)
+            if bad_sha or collisions:
+                print(json.dumps({"error": "ingest invariant violated",
+                                  "sha_mismatches": bad_sha, "id_collisions": collisions}))
+                return 2
+            edges = derive_code_edges(verts, commit_memberships(src), args.max_commit_files)
+            verts.drop("content").write.mode("overwrite").parquet(f"{args.output}/vertices")
+            edges.write.mode("overwrite").parquet(f"{args.output}/edges")
+            print(json.dumps({"vertices": verts.count(), "edges": edges.count(),
+                              "sha_mismatches": 0, "id_collisions": 0}))
+            return 0
+
+        g = _load_graph(spark, args)
+        ck = Checkpointer(args.checkpoint_dir) if args.checkpoint_dir else None
+
+        if args.cmd == "pagerank":
+            if args.kernel == "csr":
+                from sparkgraph.kernels import pagerank_csr
+                res = pagerank_csr(g, mode=args.mode, iterations=args.iterations, tol=args.tol)
+            else:
+                from sparkgraph.algorithms import pagerank
+                res = pagerank(g, mode=args.mode, iterations=args.iterations,
+                               tol=args.tol, checkpointer=ck, resume=args.resume)
+            out = res.state
+        elif args.cmd == "sssp":
+            from sparkgraph.algorithms import sssp
+            res = sssp(g, source=args.source, checkpointer=ck, resume=args.resume)
+            out = res.state.withColumnRenamed("dist", "value")
+        elif args.cmd == "cc":
+            from sparkgraph.algorithms import connected_components
+            res = connected_components(g, checkpointer=ck, resume=args.resume)
+            out = res.state.withColumnRenamed("component", "value")
+        elif args.cmd == "lpa":
+            from sparkgraph.algorithms import label_propagation
+            res = label_propagation(g, max_iter=args.max_iter, checkpointer=ck,
+                                    resume=args.resume)
+            out = res.state.withColumnRenamed("label", "value")
+        elif args.cmd == "triangles":
+            from sparkgraph.algorithms import triangle_count
+            print(json.dumps({"triangles": triangle_count(g)}))
+            return 0
+        else:  # pragma: no cover
+            raise AssertionError(args.cmd)
+
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+        # reference result report: top-k by value descending (A12)
+        rows = (
+            out.orderBy(F.desc("value"), F.asc("id")).limit(args.top).collect()
+        )
+        print(json.dumps({
+            "supersteps": res.supersteps,
+            "converged": res.converged,
+            "top": [{"id": r.id, "value": r.value} for r in rows],
+        }))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
