@@ -1,0 +1,135 @@
+"""Multimodal (image/audio/video) column handling.
+
+Media are opaque ``binary`` columns with a typed metadata struct — the
+schema/partitioning/UDF plumbing is real and tested; the actual codecs are
+STUBBED behind ``DecodeBackend`` because no image/audio libraries exist in
+this container (and at cluster scale you'd swap in a vectorized decoder per
+executor). ``FakeDecodeBackend`` is deterministic (bytes → hashed pseudo
+pixels/samples) so every downstream stage — batching, feature extraction,
+resize geometry, frame sampling — is exercised end-to-end.
+
+All heavy lifting is ``mapInPandas`` over Arrow batches: decode cost is
+amortized per batch, output schemas are fixed StructTypes, and partitioning
+is preserved (one media blob never crosses a batch boundary).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, data binary, "
+    "meta struct<width:int, height:int, channels:int, sample_rate:int, n_frames:int>"
+)
+
+
+class DecodeBackend:
+    """Swap-in point for real codecs (PIL/libav/...). Implementations decode
+    one blob to a float32 numpy array."""
+
+    def decode_image(self, data: bytes, width: int, height: int, channels: int) -> np.ndarray:
+        raise NotImplementedError("no image codec in this environment")
+
+    def decode_audio(self, data: bytes, sample_rate: int) -> np.ndarray:
+        raise NotImplementedError("no audio codec in this environment")
+
+
+class FakeDecodeBackend(DecodeBackend):
+    """Deterministic stand-in: pixels/samples derived from sha256 of the
+    bytes — stable across runs and partitionings."""
+
+    def _seeded(self, data: bytes, n: int) -> np.ndarray:
+        seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "big") % (2**32)
+        return np.random.RandomState(seed).rand(n).astype(np.float32)
+
+    def decode_image(self, data, width, height, channels):
+        return self._seeded(data, width * height * channels).reshape(
+            height, width, channels
+        )
+
+    def decode_audio(self, data, sample_rate):
+        return self._seeded(data, sample_rate)  # 1 second of fake samples
+
+
+def image_features(
+    df: DataFrame, backend: DecodeBackend | None = None, batch_size_hint: int = 64
+) -> DataFrame:
+    """media rows (kind='image') → (media_id, mean, std, width, height).
+    Decode + reduce per Arrow batch; only scalars leave Python."""
+    backend = backend or FakeDecodeBackend()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            b = b[b["kind"] == "image"]
+            if b.empty:
+                continue
+            rows = []
+            for _, r in b.iterrows():
+                m = r["meta"]
+                px = backend.decode_image(
+                    bytes(r["data"]), m["width"], m["height"], m["channels"]
+                )
+                rows.append(
+                    (r["media_id"], float(px.mean()), float(px.std()),
+                     m["width"], m["height"])
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "mean", "std", "width", "height"]
+            )
+
+    return df.mapInPandas(
+        run, "media_id long, mean double, std double, width int, height int"
+    )
+
+
+def resize_plan(df: DataFrame, target: int = 224) -> DataFrame:
+    """Resize geometry (pure column math — no decode needed): scale factor and
+    output dims preserving aspect ratio, shorter side = target."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = target / F.least(w, h).cast("double")
+    return df.select(
+        "media_id",
+        F.round(scale, 6).alias("scale"),
+        F.ceil(w * scale).cast("int").alias("out_width"),
+        F.ceil(h * scale).cast("int").alias("out_height"),
+    )
+
+
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video rows → one row per sampled frame index (no decode: the frame
+    index plan is column math; pair with a decode backend for pixels)."""
+    return (
+        df.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
+                    F.lit(every_n),
+                )
+            ).alias("frame_idx"),
+        )
+    )
+
+
+def synth_media(spark, n: int = 20) -> DataFrame:
+    """Deterministic fake media table matching MEDIA_SCHEMA."""
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        data = hashlib.sha256(str(i).encode()).digest() * 4
+        meta = {
+            "width": 32 + (i % 4) * 16 if kind == "image" else 0,
+            "height": 32 + (i % 3) * 16 if kind == "image" else 0,
+            "channels": 3 if kind == "image" else 0,
+            "sample_rate": 8000 if kind == "audio" else 0,
+            "n_frames": 100 + i if kind == "video" else 0,
+        }
+        rows.append((i, kind, bytearray(data), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,104 @@
+"""Structured Streaming surface.
+
+The reference is batch-only (SURVEY.md §2C: "no streaming") — this module is
+added engine surface: incremental maintenance of the link graph's ingest-side
+aggregates, expressed as standard Structured Streaming plans so watermarks,
+state store, and exactly-once sinks come from Spark.
+
+Patterns covered:
+  * ``stream_edges_from_files`` — an edge-list/parquet directory as an
+    unbounded source; new files are discovered per micro-batch (the streaming
+    analogue of the reference's SDFS PUT-then-recompute cycle, B1/A1).
+  * ``streaming_degrees`` — running per-vertex degree counts (update mode),
+    i.e. the incremental form of Graph.degrees.
+  * ``windowed_event_counts`` — event-time tumbling windows with a watermark
+    for late data, over an (ts, user_id, …) event stream.
+  * ``streaming_dedup`` — exact near-real-time dedup: drop rows whose
+    content sha256 was already seen, bounded by a watermark.
+
+Use ``trigger(availableNow=True)`` in tests/benches for deterministic
+drain-everything semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkgraph.io.edgelist import _EDGE_RE
+
+
+def stream_edges_from_files(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming version of io.edgelist.read_edgelist: text files appearing
+    under ``path`` become (src, dst, weight) rows, same parse semantics."""
+    lines = spark.readStream.format("text").load(path)
+    return (
+        lines.select(
+            F.regexp_extract("value", _EDGE_RE, 1).alias("src_s"),
+            F.regexp_extract("value", _EDGE_RE, 2).alias("dst_s"),
+        )
+        .filter((F.col("src_s") != "") & (F.col("dst_s") != ""))
+        .select(
+            F.col("src_s").cast("long").alias("src"),
+            F.col("dst_s").cast("long").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+
+
+def streaming_degrees(edges: DataFrame) -> DataFrame:
+    """Running symmetrized degree per vertex (update output mode)."""
+    sym = edges.select(F.col("src").alias("id")).unionByName(
+        edges.select(F.col("dst").alias("id"))
+    )
+    return sym.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Tumbling-window counts with late-data watermark."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def streaming_dedup(
+    docs: DataFrame, ts_col: str = "ts", text_col: str = "text",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once-per-content pass-through: drops rows whose sha256(text)
+    appeared before (within watermark bounds — state is GC'd past it)."""
+    return (
+        docs.withColumn("content_sha", F.sha2(F.col(text_col), 256))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates(["content_sha"])
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "update"
+) -> DataFrame:
+    """Drain all currently-available input into an in-memory table and return
+    it as a batch DataFrame (test/bench helper — availableNow trigger)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)

@@ -1,0 +1,118 @@
+"""Streaming (availableNow-drained) + multimodal plumbing tests."""
+
+import math
+import shutil
+
+import pytest
+
+from sparkgraph.multimodal import (
+    FakeDecodeBackend,
+    image_features,
+    resize_plan,
+    sample_frames,
+    synth_media,
+)
+from sparkgraph.streaming import (
+    run_to_memory,
+    stream_edges_from_files,
+    streaming_dedup,
+    streaming_degrees,
+    windowed_event_counts,
+)
+
+from tests.fixtures import GRAPH_MAIN
+from tests.oracles import symmetrize
+
+
+def test_streaming_degrees_match_batch(spark, assets_dir, tmp_path):
+    src_dir = tmp_path / "edges_in"
+    src_dir.mkdir()
+    shutil.copy(f"{assets_dir}/graph_main.txt", src_dir / "part1.txt")
+    edges = stream_edges_from_files(spark, str(src_dir))
+    assert edges.isStreaming
+    got = {
+        r.id: r.deg
+        for r in run_to_memory(streaming_degrees(edges), "deg_t", "update").collect()
+    }
+    from collections import Counter
+    want = Counter(s for s, _ in symmetrize(GRAPH_MAIN))
+    assert got == dict(want)
+
+
+def test_windowed_event_counts(spark, tmp_path):
+    import pandas as pd
+
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:10", "2024-01-01 00:00:50",
+                 "2024-01-01 00:01:10", "2024-01-01 00:02:05"]
+            ),
+            "event_type": ["click", "click", "click", "error"],
+        }
+    ).astype({"ts": "datetime64[us]"}).to_parquet(events_dir / "p1.parquet")
+    stream = spark.readStream.schema("ts timestamp, event_type string").parquet(
+        str(events_dir)
+    )
+    out = run_to_memory(windowed_event_counts(stream), "win_t", "update")
+    rows = {(str(r.window_start), r.event_type): r.n for r in out.collect()}
+    assert rows[("2024-01-01 00:00:00", "click")] == 2
+    assert rows[("2024-01-01 00:01:00", "click")] == 1
+    assert rows[("2024-01-01 00:02:00", "error")] == 1
+
+
+def test_streaming_dedup_drops_repeat_content(spark, tmp_path):
+    import pandas as pd
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01"] * 3),
+            "text": ["same text", "same text", "other"],
+        }
+    ).astype({"ts": "datetime64[us]"}).to_parquet(d / "p1.parquet")
+    stream = spark.readStream.schema("ts timestamp, text string").parquet(str(d))
+    out = run_to_memory(streaming_dedup(stream), "dedup_t", "append")
+    texts = sorted(r.text for r in out.collect())
+    assert texts == ["other", "same text"]
+
+
+def test_image_features_deterministic_and_batched(spark):
+    media = synth_media(spark, 12).repartition(3)
+    feats = {r.media_id: (r["mean"], r["std"]) for r in image_features(media).collect()}
+    assert set(feats) == {i for i in range(12) if i % 3 == 0}  # images only
+    again = {r.media_id: (r["mean"], r["std"]) for r in image_features(media.repartition(5)).collect()}
+    assert feats == again  # partitioning-independent (hash-seeded decode)
+    for m, s in feats.values():
+        assert 0.0 < m < 1.0 and 0.0 < s < 1.0
+
+
+def test_decode_backend_stub_raises(spark):
+    from sparkgraph.multimodal import DecodeBackend
+
+    with pytest.raises(NotImplementedError):
+        DecodeBackend().decode_image(b"", 1, 1, 1)
+
+
+def test_resize_plan_geometry(spark):
+    media = synth_media(spark, 6).filter("kind = 'image'")
+    plans = {r.media_id: r for r in resize_plan(media, target=224).collect()}
+    rows = {r.media_id: r for r in media.select("media_id", "meta").collect()}
+    for mid, p in plans.items():
+        w, h = rows[mid].meta.width, rows[mid].meta.height
+        assert math.isclose(p.scale, 224 / min(w, h), rel_tol=1e-6)
+        assert min(p.out_width, p.out_height) == 224
+
+
+def test_sample_frames(spark):
+    media = synth_media(spark, 9)
+    frames = sample_frames(media, every_n=25).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r.frame_idx)
+    # video ids are 2,5,8 with n_frames 102,105,108
+    assert by_id[2] == [0, 25, 50, 75, 100]
+    assert all(i % 25 == 0 for idx in by_id.values() for i in idx)
