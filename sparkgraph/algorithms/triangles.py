@@ -44,13 +44,85 @@ def oriented_edges(graph: Graph) -> DataFrame:
     )
 
 
-def triangle_count(graph: Graph) -> int:
+def triangle_count(graph: Graph, strategy: str = "auto") -> int:
+    """Physical strategies (same exact count):
+
+    * 'bitset'    — broadcast the oriented adjacency as a packed bit matrix
+      and popcount row-AND per edge in a vectorized Arrow kernel. The right
+      plan for DENSE vertex sets (n ≤ ~16k: matrix ≤ 32 MB); turns the 10⁸
+      wedge explosion of a near-complete graph into a few hundred MB of
+      bitwise ops.
+    * 'intersect' — per-edge sorted-adjacency intersection; never shuffles
+      the wedge set, only E rows carrying O(√E) neighbor arrays. The scale
+      path for sparse/skewed graphs with many vertices.
+    * 'wedge'     — classic 2-path join + closing-edge semi-join.
+    * 'auto'      — bitset when the vertex count fits the broadcast matrix,
+      else intersect.
+    """
+    if strategy == "auto":
+        n = graph.simple_undirected().select(
+            F.explode(F.array("u", "v"))
+        ).distinct().count()
+        strategy = "bitset" if n <= 16384 else "intersect"
+    if strategy == "bitset":
+        return _triangle_count_bitset(graph)
+    if strategy == "wedge":
+        o = oriented_edges(graph)
+        e1 = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = o.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        wedges = e1.join(e2, "y").select("x", "z")
+        closing = o.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        return wedges.join(closing, ["x", "z"]).count()
+    if strategy != "intersect":
+        raise ValueError(f"unknown strategy {strategy!r}")
     o = oriented_edges(graph)
-    e1 = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = o.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    wedges = e1.join(e2, "y").select("x", "z")
-    closing = o.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    return wedges.join(closing, ["x", "z"]).count()
+    # oriented out-neighbor lists: bounded by O(sqrt E) per vertex
+    adj = o.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+    ea = adj.select(F.col("a").alias("_a"), F.col("nbrs").alias("na"))
+    eb = adj.select(F.col("a").alias("_b"), F.col("nbrs").alias("nb"))
+    per_edge = (
+        o.join(ea, o.a == ea._a)
+        .join(eb, o.b == eb._b)
+        .select(F.size(F.array_intersect("na", "nb")).alias("t"))
+    )
+    row = per_edge.agg(F.sum("t").alias("triangles")).collect()[0]
+    return int(row.triangles or 0)
+
+
+def _triangle_count_bitset(graph: Graph) -> int:
+    import numpy as np
+    import pyarrow as pa
+
+    o = oriented_edges(graph).persist()
+    pdf = o.toPandas()
+    a_all = pdf["a"].to_numpy()
+    b_all = pdf["b"].to_numpy()
+    ids = np.unique(np.concatenate([a_all, b_all]))
+    n = len(ids)
+    width = (n + 7) // 8
+    # packed oriented-adjacency bit matrix (n ≤ 16k ⇒ ≤ 32 MB), broadcast
+    mat = np.zeros((n, width), dtype=np.uint8)
+    ai = np.searchsorted(ids, a_all)
+    bi = np.searchsorted(ids, b_all)
+    np.bitwise_or.at(mat, (ai, bi >> 3), (1 << (bi & 7)).astype(np.uint8))
+    bc = graph.spark.sparkContext.broadcast((ids, mat))
+    popcnt = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+
+    def kernel(batches):
+        ids_l, m = bc.value
+        for b in batches:
+            a_idx = np.searchsorted(ids_l, b.column("a").to_numpy(zero_copy_only=False))
+            b_idx = np.searchsorted(ids_l, b.column("b").to_numpy(zero_copy_only=False))
+            inter = np.bitwise_and(m[a_idx], m[b_idx])
+            t = int(popcnt[inter].sum())
+            yield pa.RecordBatch.from_arrays([pa.array([t], type=pa.int64())], names=["t"])
+
+    total = (
+        o.mapInArrow(kernel, "t long").agg(F.sum("t").alias("triangles")).collect()[0]
+    )
+    bc.destroy()
+    o.unpersist()
+    return int(total.triangles or 0)
 
 
 def triangle_count_df(graph: Graph) -> DataFrame:
