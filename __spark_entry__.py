@@ -34,7 +34,9 @@ from sparkgraph.algorithms import (
 )
 from sparkgraph.algorithms.triangles import triangle_count_df
 from sparkgraph.graph import Graph
+from sparkgraph.kernels import pagerank_csr
 from sparkgraph.similarity import with_cosine
+from sparkgraph.skew import salted_message_sum, top_degree_hubs
 from sparkgraph.text import (
     exact_dedup,
     language_id,
@@ -251,6 +253,20 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", F.round("value", 9).alias("score"))
 
 
+def _q_pagerank_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = Graph(bipartite_edges(spark, sf_dir))
+    res = pagerank_csr(g, mode="reference", iterations=PR_ITERS)
+    return res.state.select("id", F.round("value", 9).alias("score"))
+
+
+def _q_salted_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hub-salted two-phase gather over unit messages ≡ symmetrized degree
+    g = Graph(bipartite_edges(spark, sf_dir))
+    msgs = g.edges_sym.select("dst", F.lit(1.0).alias("msg"))
+    hubs = top_degree_hubs(g.degrees, threshold=50)
+    return salted_message_sum(msgs, hubs).select("id", F.col("msum").alias("deg_sum"))
+
+
 def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = Graph(bipartite_edges(spark, sf_dir))
     res = sssp(g, source=SSSP_SOURCE, max_iter=SSSP_ITERS)
@@ -342,6 +358,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_bipartite": _q_pagerank,
+        "pagerank_csr_bipartite": _q_pagerank_csr,
+        "salted_degrees_bipartite": _q_salted_degrees,
         "sssp_bipartite": _q_sssp,
         "cc_bipartite": _q_cc,
         "lpa_suppliers": _q_lpa,
@@ -363,6 +381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_bipartite": _pagerank_sql(PR_ITERS),
+        "pagerank_csr_bipartite": _pagerank_sql(PR_ITERS),
+        "salted_degrees_bipartite": "WITH " + _BIP_CTE
+        + "\nSELECT id, CAST(deg AS DOUBLE) AS deg_sum FROM deg",
         "sssp_bipartite": _sssp_sql(SSSP_ITERS, SSSP_SOURCE),
         "cc_bipartite": _cc_sql(CC_ITERS, _BIP_CTE),
         "lpa_suppliers": _lpa_sql(LPA_ITERS, _SUPP_CTE),
