@@ -67,6 +67,12 @@ def main() -> None:
     extra["pagerank_powerlaw_edges_per_sec"] = round(
         10 * n_edges_pl / timings["pagerank10_powerlaw"], 1
     )
+    from sparkgraph.kernels import pagerank_csr
+
+    timed("pagerank10_csr_powerlaw", lambda: pagerank_csr(g_pl, mode="reference", iterations=10).state.count())
+    extra["pagerank_csr_powerlaw_edges_per_sec"] = round(
+        10 * n_edges_pl / timings["pagerank10_csr_powerlaw"], 1
+    )
 
     # -- supplier triangles + document dedup ---------------------------------
     g_sup = Graph(entrymod.supplier_edges(spark, sf_dir))
