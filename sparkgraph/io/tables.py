@@ -1,0 +1,99 @@
+"""Versioned table IO — the engine's replacement for the reference's SDFS
+(sdfs/sdfs.go, operators B1–B5 in SURVEY.md §2B).
+
+The reference hand-rolls replicated blob storage: PUT with write-quorum 2
+(sdfs/sdfs-graph.go:15-61), GET picking the newest timestamp
+(sdfs/sdfs.go:282-299), a 60 s write-write conflict window
+(sdfs/sdfs.go:1004-1024). All of that is the table format's job. This module
+targets an Iceberg catalog when one is configured and otherwise falls back to
+a minimal snapshot-versioned Parquet layout:
+
+    <root>/<name>/v=<k>/part-*.parquet      immutable snapshot k
+    <root>/<name>/_latest                   atomic pointer (rename) to k
+
+Readers always see a complete snapshot (last-write-wins on the pointer —
+the same semantics the reference approximates with PUT timestamps);
+``load(version=...)`` gives the reference's nowhere-implemented read-repair
+story a strictly stronger time-travel answer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableIO:
+    def __init__(self, spark: SparkSession, root: str, catalog: str | None = None):
+        self.spark = spark
+        self.root = root
+        self.catalog = catalog  # e.g. an Iceberg catalog name, when available
+
+    # -- helpers ------------------------------------------------------------
+
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _pointer(self, name: str) -> str:
+        return os.path.join(self._dir(name), "_latest")
+
+    def latest_version(self, name: str) -> int | None:
+        ptr = self._pointer(name)
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            return int(f.read().strip())
+
+    def versions(self, name: str) -> list[int]:
+        d = self._dir(name)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(x.split("=")[1]) for x in os.listdir(d) if x.startswith("v=")
+        )
+
+    # -- SDFS op parity: PUT / GET / DELETE / LS ------------------------------
+
+    def save(self, df: DataFrame, name: str) -> int:
+        """PUT: write a new immutable snapshot, then atomically advance the
+        pointer (rename — the quorum/conflict-window machinery collapses to
+        one atomic metadata op)."""
+        if self.catalog:
+            df.writeTo(f"{self.catalog}.{name}").createOrReplace()
+            return -1
+        k = (self.latest_version(name) or 0) + 1
+        path = os.path.join(self._dir(name), f"v={k}")
+        df.write.mode("overwrite").parquet(path)
+        tmp = self._pointer(name) + ".tmp"
+        os.makedirs(self._dir(name), exist_ok=True)
+        with open(tmp, "w") as f:
+            f.write(str(k))
+        os.replace(tmp, self._pointer(name))
+        return k
+
+    def load(self, name: str, version: int | None = None) -> DataFrame:
+        """GET: newest snapshot by default; any retained snapshot by number."""
+        if self.catalog:
+            return self.spark.read.table(f"{self.catalog}.{name}")
+        k = version if version is not None else self.latest_version(name)
+        if k is None:
+            raise FileNotFoundError(f"table {name!r} has no snapshots under {self.root}")
+        return self.spark.read.parquet(os.path.join(self._dir(name), f"v={k}"))
+
+    def drop(self, name: str) -> None:
+        """DELETE."""
+        import shutil
+
+        if self.catalog:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.catalog}.{name}")
+            return
+        shutil.rmtree(self._dir(name), ignore_errors=True)
+
+    def list_tables(self) -> list[str]:
+        """LS/STORE."""
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d for d in os.listdir(self.root) if os.path.isdir(self._dir(d))
+        )
