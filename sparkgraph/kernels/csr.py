@@ -85,10 +85,9 @@ def pagerank_csr(
     spark = graph.spark
     sc = spark.sparkContext
 
-    # dense id universe (sorted for searchsorted packing)
-    ids = np.sort(
-        np.array([r.id for r in graph.vertices.collect()], dtype=np.int64)
-    )
+    # dense id universe (sorted for searchsorted packing); Arrow transfer —
+    # no per-row Python even on 10⁷-vertex universes
+    ids = np.sort(graph.vertices.toPandas()["id"].to_numpy(dtype=np.int64))
     n = len(ids)
     if n == 0:
         raise ValueError("graph has no vertices")
@@ -113,10 +112,12 @@ def pagerank_csr(
         combine = "driver" if parts * n <= 20_000_000 else "shuffle"
 
 
-    # degree on the symmetrized multigraph, as a dense vector
+    # degree on the symmetrized multigraph, as a dense vector (Arrow path)
     deg = np.zeros(n, dtype=np.float64)
-    for r in graph.degrees.collect():
-        deg[np.searchsorted(ids, r.id)] = r.deg
+    deg_pdf = graph.degrees.toPandas()
+    deg[np.searchsorted(ids, deg_pdf["id"].to_numpy(dtype=np.int64))] = deg_pdf[
+        "deg"
+    ].to_numpy(dtype=np.float64)
 
     teleport = (1.0 - damping) / n
     x = np.zeros(n) if mode == "reference" else np.full(n, 1.0 / n)
@@ -171,7 +172,9 @@ def pagerank_csr(
     packed.unpersist()
     if mode == "reference":
         converged = True
+    import pandas as pd
+
     out = spark.createDataFrame(
-        list(zip(ids.tolist(), x.tolist())), "id long, value double"
+        pd.DataFrame({"id": ids, "value": x}), "id long, value double"
     )
     return PregelResult(state=out, supersteps=step, converged=converged, metrics=metrics)
