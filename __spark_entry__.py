@@ -35,7 +35,7 @@ from sparkgraph.algorithms import (
 from sparkgraph.algorithms.triangles import triangle_count_df
 from sparkgraph.graph import Graph
 from sparkgraph.kernels import pagerank_csr
-from sparkgraph.similarity import with_cosine
+from sparkgraph.similarity import embedding_near_dup_pairs, with_cosine
 from sparkgraph.skew import salted_message_sum, top_degree_hubs
 from sparkgraph.text import (
     exact_dedup,
@@ -316,7 +316,7 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_read(spark, sf_dir, "documents")).select(
-        "doc_id", "n_tokens", "n_chars_obs"
+        "doc_id", "n_tokens", "n_chars_obs", "n_bpe_tokens"
     )
 
 
@@ -338,6 +338,28 @@ def _q_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     q = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
     return with_cosine(emb, q).select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("minute"), "event_type", "n")
+    )
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check (array column): winnowing-style min-k rolling-hash
+    from sparkgraph.text import char_ngram_fingerprint
+
+    fp = char_ngram_fingerprint(_read(spark, sf_dir, "documents"))
+    return fp.select("id", F.col("fingerprint")[0].alias("min_hash"),
+                     F.size("fingerprint").alias("fp_len"))
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -373,6 +395,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_documents": _q_langid,
         "ngram_jaccard_documents": _q_jaccard,
         "cosine_embeddings": _q_cosine,
+        "embedding_neardup": _q_embedding_neardup,
+        "events_windowed": _q_events_windowed,
+        "fingerprint_documents": _q_fingerprint,
         "minhash_lsh_documents": _q_minhash_lsh,
         "simhash_documents": _q_simhash,
     }
@@ -398,7 +423,8 @@ FROM documents GROUP BY sha256(text)""",
         "token_stats_documents": """
 SELECT doc_id,
        len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-       length(text) AS n_chars_obs
+       length(text) AS n_chars_obs,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS n_bpe_tokens
 FROM documents""",
         "quality_documents": """
 WITH t AS (
@@ -416,4 +442,13 @@ FROM t""",
         "langid_documents": _LANGID_SQL,
         "ngram_jaccard_documents": _JACCARD_SQL,
         "cosine_embeddings": _COSINE_SQL,
+        "embedding_neardup": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.4""",
+        "events_windowed": """
+SELECT date_trunc('minute', ts) AS minute, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2""",
     }

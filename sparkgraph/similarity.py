@@ -54,6 +54,25 @@ def cosine_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame, threshold: float = 0.95, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
+    Exact all-pairs form — O(n²) cross join, for verification and small
+    corpora; the LSH-bucketed path pre-candidates at scale (bucket on
+    ``hyperplane_signature`` and only join within buckets)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    a = df.select(F.col(id_col).alias("a"), v.alias("va"))
+    b = df.select(F.col(id_col).alias("b"), v.alias("vb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        pairs.select("a", "b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def hyperplane_signature(
     df: DataFrame, dim: int, n_planes: int = 16, seed: int = 7,
     vec_col: str = "embedding",

@@ -31,8 +31,40 @@ _LANG_MARKERS = {
 }
 
 
+# BPE-pretokenizer-ish segmentation: word pieces, numbers, punctuation runs —
+# the usual pre-split GPT-style byte-pair encoders apply before merging
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
 def tokens(col) -> "F.Column":
     return F.split(F.trim(col), TOKEN_SPLIT_RE)
+
+
+def bpe_ish_token_count(col) -> "F.Column":
+    """Count of BPE-ish pretokens (letter runs / digit runs / symbol runs)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_RE), 0))
+
+
+def char_ngram_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 5, k: int = 8,
+) -> DataFrame:
+    """Rolling-hash document fingerprint: the k smallest xxhash64 values over
+    the document's character n-grams (winnowing-style min-sampling). Equal
+    fingerprints ⇒ near-identical content; overlap size estimates Jaccard.
+    Returns (id, fingerprint: array<long> ascending).
+    """
+    t = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.length(t) - n, F.lit(0))),
+        lambda i: t.substr(i + 1, F.lit(n)),
+    )
+    hashes = F.array_sort(
+        F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.slice(hashes, 1, k).alias("fingerprint")
+    )
 
 
 def sha_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -57,8 +89,10 @@ def exact_dedup(
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document token/char statistics (quality-filter features)."""
     toks = tokens(F.col(text_col))
-    return df.withColumn("n_tokens", F.size(toks)).withColumn(
-        "n_chars_obs", F.length(F.col(text_col))
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_chars_obs", F.length(F.col(text_col)))
+        .withColumn("n_bpe_tokens", bpe_ish_token_count(F.col(text_col)))
     )
 
 
