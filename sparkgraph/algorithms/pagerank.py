@@ -41,9 +41,16 @@ def pagerank(
     damping: float = 0.85,
     checkpointer: Checkpointer | None = None,
     resume: bool = False,
+    salting_threshold: int | None = None,
+    salts: int = 16,
 ) -> PregelResult:
     """Returns state ``(id, value)``; ``result.metrics`` carries per-superstep
-    wall time and (in convergence mode) the max-abs delta."""
+    wall time and (in convergence mode) the max-abs delta.
+
+    ``salting_threshold``: when set, gathers for vertices whose symmetrized
+    degree exceeds it run through the explicit two-phase salted aggregation
+    (sparkgraph.skew) instead of the single-phase groupBy — the escape hatch
+    for hub skew beyond what map-side partial aggregation + AQE absorb."""
     if mode not in ("reference", "convergence"):
         raise ValueError(f"unknown mode {mode!r}")
     spark = graph.spark
@@ -73,6 +80,13 @@ def pagerank(
             )
         )
 
+    hubs = None
+    if salting_threshold is not None:
+        from sparkgraph.skew import top_degree_hubs
+
+        hubs = top_degree_hubs(graph.degrees, salting_threshold).persist()
+        hubs.count()
+
     step = start_step
     converged = False
     while True:
@@ -94,7 +108,16 @@ def pagerank(
             "dst", F.col("contrib").alias("msg")
         )
         # Gather (A6+A7): sum per destination; partial agg before the shuffle.
-        sums = msgs.groupBy(F.col("dst").alias("id")).agg(F.sum("msg").alias("msum"))
+        if hubs is not None:
+            from sparkgraph.skew import salted_message_sum
+
+            sums = salted_message_sum(msgs, hubs, salts=salts).withColumnRenamed(
+                "msum", "msum"
+            )
+        else:
+            sums = msgs.groupBy(F.col("dst").alias("id")).agg(
+                F.sum("msg").alias("msum")
+            )
         # Apply (A8): damped update; vertices with no messages get teleport only.
         new_state = (
             state.join(sums, "id", "left")

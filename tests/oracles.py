@@ -58,6 +58,8 @@ def bfs_oracle(pairs: list[tuple[int, int]], source: int) -> dict[int, float]:
         adj[s].add(d)
     nodes = sorted({v for e in pairs for v in e})
     dist = {v: INF for v in nodes}
+    if source not in dist:
+        return dist  # absent source: everything unreachable (engine semantics)
     dist[source] = 0.0
     q = deque([source])
     while q:
