@@ -1,1 +1,6 @@
-from sparkgraph.kernels.csr import pagerank_csr  # noqa: F401
+from sparkgraph.kernels.csr import (  # noqa: F401
+    PackedGraph,
+    cc_csr,
+    pagerank_csr,
+    sssp_csr,
+)

@@ -40,29 +40,61 @@ import time
 
 
 def _pack_partitions(edges_sym, ids: np.ndarray):
-    """edges (src,dst) → one packed row per partition: dense-index arrays."""
+    """edges (src,dst,weight) → one packed row per partition: dense-index
+    arrays + weights (the per-partition CSR reused across all supersteps)."""
 
-    # one row per partition, each holding the partition's packed arrays
     def pack_rows(batches):
-        srcs, dsts = [], []
+        srcs, dsts, ws = [], [], []
         for b in batches:
             srcs.append(b.column("src").to_numpy(zero_copy_only=False))
             dsts.append(b.column("dst").to_numpy(zero_copy_only=False))
+            ws.append(b.column("weight").to_numpy(zero_copy_only=False))
         src = np.concatenate(srcs) if srcs else np.empty(0, dtype=np.int64)
         dst = np.concatenate(dsts) if dsts else np.empty(0, dtype=np.int64)
+        w = np.concatenate(ws) if ws else np.empty(0, dtype=np.float64)
         src_idx = np.searchsorted(ids, src).astype(np.int64)
         dst_idx = np.searchsorted(ids, dst).astype(np.int64)
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array([src_idx.tobytes()], type=pa.large_binary()),
                 pa.array([dst_idx.tobytes()], type=pa.large_binary()),
+                pa.array([w.astype(np.float64).tobytes()], type=pa.large_binary()),
             ],
-            names=["src_idx", "dst_idx"],
+            names=["src_idx", "dst_idx", "w"],
         )
 
-    return edges_sym.select("src", "dst").mapInArrow(
-        pack_rows, "src_idx binary, dst_idx binary"
+    return edges_sym.select("src", "dst", "weight").mapInArrow(
+        pack_rows, "src_idx binary, dst_idx binary, w binary"
     )
+
+
+class PackedGraph:
+    """The CSR pack shared by every kernel: sorted id universe + persisted
+    per-partition index arrays, sized by edge volume."""
+
+    def __init__(self, graph: Graph, target_edges_per_partition: int = 2_000_000,
+                 max_broadcast_vertices: int = 100_000_000):
+        self.graph = graph
+        self.ids = np.sort(graph.vertices.toPandas()["id"].to_numpy(dtype=np.int64))
+        self.n = len(self.ids)
+        if self.n == 0:
+            raise ValueError("graph has no vertices")
+        if self.n > max_broadcast_vertices:
+            raise ValueError(
+                f"{self.n} vertices exceeds the dense-vector envelope "
+                f"({max_broadcast_vertices}); use the relational algorithms"
+            )
+        n_edges = graph.edges_sym.count()
+        self.parts = max(
+            1, min(graph.num_partitions, -(-n_edges // target_edges_per_partition))
+        )
+        self.packed = _pack_partitions(
+            graph.edges_sym.repartition(self.parts, "src"), self.ids
+        ).persist()
+        self.packed.count()
+
+    def unpersist(self):
+        self.packed.unpersist()
 
 
 def pagerank_csr(
@@ -85,27 +117,8 @@ def pagerank_csr(
     spark = graph.spark
     sc = spark.sparkContext
 
-    # dense id universe (sorted for searchsorted packing); Arrow transfer —
-    # no per-row Python even on 10⁷-vertex universes
-    ids = np.sort(graph.vertices.toPandas()["id"].to_numpy(dtype=np.int64))
-    n = len(ids)
-    if n == 0:
-        raise ValueError("graph has no vertices")
-    if n > max_broadcast_vertices:
-        raise ValueError(
-            f"{n} vertices exceeds the dense-vector envelope "
-            f"({max_broadcast_vertices}); use the relational pagerank"
-        )
-
-    # Size pack partitions by edge volume, not by the session default: each
-    # partition should hold enough edges that the numpy kernel dominates the
-    # per-stage Python round-trip (the 100 TB analogue of maxPartitionBytes).
-    n_edges = graph.edges_sym.count()
-    parts = max(1, min(graph.num_partitions, -(-n_edges // target_edges_per_partition)))
-    packed = _pack_partitions(
-        graph.edges_sym.repartition(parts, "src"), ids
-    ).persist()
-    packed.count()  # materialize the pack once
+    pg = PackedGraph(graph, target_edges_per_partition, max_broadcast_vertices)
+    ids, n, parts, packed = pg.ids, pg.n, pg.parts, pg.packed
     if combine == "auto":
         # driver-side combine skips the per-superstep shuffle stage; safe while
         # the worst-case partial volume (parts × n rows) stays small
@@ -178,3 +191,101 @@ def pagerank_csr(
         pd.DataFrame({"id": ids, "value": x}), "id long, value double"
     )
     return PregelResult(state=out, supersteps=step, converged=converged, metrics=metrics)
+
+
+def _frontier_min_loop(graph: Graph, init: np.ndarray, plus_weight: bool,
+                       max_iter: int, out_col: str,
+                       target_edges_per_partition: int = 2_000_000) -> PregelResult:
+    """Shared frontier min-combiner kernel (SSSP: msg = val+w; CC: msg = val).
+    Per superstep one mapInArrow pass scatters from frontier sources only and
+    min-combines per destination inside the partition (np.minimum.at — the
+    map-side combiner); the driver merges partials and computes the next
+    frontier mask."""
+    import pandas as pd
+
+    spark = graph.spark
+    sc = spark.sparkContext
+    pg = PackedGraph(graph, target_edges_per_partition)
+    ids, n = pg.ids, pg.n
+
+    val = init
+    frontier = np.isfinite(val) if plus_weight else np.ones(n, dtype=bool)
+    metrics: list[SuperstepMetrics] = []
+    step = 0
+    while step < max_iter and frontier.any():
+        t0 = time.monotonic()
+        bc = sc.broadcast((val, frontier))
+
+        def scatter_min(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            v, fr = bc.value
+            for b in batches:
+                src_idx = np.frombuffer(b.column("src_idx")[0].as_py(), dtype=np.int64)
+                dst_idx = np.frombuffer(b.column("dst_idx")[0].as_py(), dtype=np.int64)
+                active = fr[src_idx]
+                if not active.any():
+                    continue
+                s, d = src_idx[active], dst_idx[active]
+                msg = v[s] + (
+                    np.frombuffer(b.column("w")[0].as_py(), dtype=np.float64)[active]
+                    if plus_weight
+                    else 0.0
+                )
+                mins = np.full(int(d.max()) + 1, np.inf)
+                np.minimum.at(mins, d, msg)
+                touched = np.nonzero(np.isfinite(mins))[0]
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(touched, type=pa.int64()),
+                     pa.array(mins[touched], type=pa.float64())],
+                    names=["idx", "partial"],
+                )
+
+        agg = pg.packed.mapInArrow(scatter_min, "idx long, partial double").toPandas()
+        bc.destroy()
+        new_val = val.copy()
+        if len(agg):
+            idx = agg["idx"].to_numpy()
+            np.minimum.at(new_val, idx, agg["partial"].to_numpy())
+        frontier = new_val < val
+        val = new_val
+        step += 1
+        metrics.append(
+            SuperstepMetrics(
+                superstep=step,
+                seconds=round(time.monotonic() - t0, 6),
+                changed=int(frontier.sum()),
+            )
+        )
+
+    pg.unpersist()
+    out = spark.createDataFrame(
+        pd.DataFrame({"id": ids, out_col: val}), f"id long, {out_col} double"
+    )
+    return PregelResult(state=out, supersteps=step, converged=True, metrics=metrics)
+
+
+def sssp_csr(graph: Graph, source: int, max_iter: int = 10_000) -> PregelResult:
+    """SSSP on the CSR pack — same semantics as ``algorithms.sssp``
+    (intended Pregel min-plus; +inf for unreachable)."""
+    pg_ids = np.sort(graph.vertices.toPandas()["id"].to_numpy(dtype=np.int64))
+    init = np.full(len(pg_ids), np.inf)
+    pos = np.searchsorted(pg_ids, source)
+    if pos < len(pg_ids) and pg_ids[pos] == source:
+        init[pos] = 0.0
+    return _frontier_min_loop(graph, init, plus_weight=True, max_iter=max_iter,
+                              out_col="dist")
+
+
+def cc_csr(graph: Graph, max_iter: int = 10_000) -> PregelResult:
+    """Connected components (hash-min) on the CSR pack — label = min id in
+    component, returned as double-typed 'component' converted to long."""
+    ids = np.sort(graph.vertices.toPandas()["id"].to_numpy(dtype=np.int64))
+    # labels as float64 to share the min kernel; ids are exactly representable
+    # up to 2^53 — guard the envelope explicitly
+    if len(ids) and (ids.max() >= 2**53 or ids.min() <= -(2**53)):
+        raise ValueError("vertex ids exceed the float64-exact range (2^53); "
+                         "use the relational connected_components")
+    res = _frontier_min_loop(graph, ids.astype(np.float64), plus_weight=False,
+                             max_iter=max_iter, out_col="component")
+    out = res.state.select("id", F.col("component").cast("long").alias("component"))
+    return PregelResult(state=out, supersteps=res.supersteps, converged=True,
+                        metrics=res.metrics)
