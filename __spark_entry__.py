@@ -285,6 +285,16 @@ def _q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(g, max_iter=LPA_ITERS).state
 
 
+def _q_lpa_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = Graph(bipartite_edges(spark, sf_dir))
+    return label_propagation(g, max_iter=LPA_ITERS).state
+
+
+def _q_cc_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = Graph(supplier_edges(spark, sf_dir))
+    return connected_components(g, max_iter=CC_ITERS).state
+
+
 def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count_df(Graph(supplier_edges(spark, sf_dir)))
 
@@ -385,6 +395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_bipartite": _q_sssp,
         "cc_bipartite": _q_cc,
         "lpa_suppliers": _q_lpa,
+        "lpa_bipartite": _q_lpa_bipartite,
+        "cc_suppliers": _q_cc_suppliers,
         "triangles_suppliers": _q_triangles,
         "degrees_bipartite": _q_degrees,
         "num_vertices_bipartite": _q_num_vertices,
@@ -412,6 +424,8 @@ def oracle_sql() -> dict[str, str]:
         "sssp_bipartite": _sssp_sql(SSSP_ITERS, SSSP_SOURCE),
         "cc_bipartite": _cc_sql(CC_ITERS, _BIP_CTE),
         "lpa_suppliers": _lpa_sql(LPA_ITERS, _SUPP_CTE),
+        "lpa_bipartite": _lpa_sql(LPA_ITERS, _BIP_CTE),
+        "cc_suppliers": _cc_sql(CC_ITERS, _SUPP_CTE),
         "triangles_suppliers": _TRIANGLES_SQL,
         "degrees_bipartite": "WITH " + _BIP_CTE + "\nSELECT id, deg FROM deg",
         "num_vertices_bipartite": "WITH " + _BIP_CTE
