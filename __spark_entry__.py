@@ -400,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_suppliers": _q_triangles,
         "degrees_bipartite": _q_degrees,
         "num_vertices_bipartite": _q_num_vertices,
+        "top25_pagerank_bipartite": _q_topk_pagerank,
         "ingest_sha_documents": _q_ingest_sha,
         "dedup_exact_documents": _q_dedup_exact,
         "token_stats_documents": _q_token_stats,
@@ -430,6 +431,11 @@ def oracle_sql() -> dict[str, str]:
         "degrees_bipartite": "WITH " + _BIP_CTE + "\nSELECT id, deg FROM deg",
         "num_vertices_bipartite": "WITH " + _BIP_CTE
         + "\nSELECT COUNT(*) AS n_vertices FROM verts",
+        "top25_pagerank_bipartite": _pagerank_sql(PR_ITERS).replace(
+            f"SELECT id, ROUND(v, 9) AS score FROM x{PR_ITERS}",
+            f"SELECT id, ROUND(v, 9) AS score FROM x{PR_ITERS} "
+            "ORDER BY score DESC, id ASC LIMIT 25",
+        ),
         "ingest_sha_documents": "SELECT doc_id, sha256(text) AS content_sha FROM documents",
         "dedup_exact_documents": """
 SELECT sha256(text) AS content_sha, MIN(doc_id) AS rep_id, COUNT(*) AS dup_count
