@@ -53,6 +53,9 @@ CC_ITERS = 12
 SSSP_ITERS = 12
 SSSP_SOURCE = 1  # customer id
 LPA_ITERS = 4
+KCORE_K = 80
+KCORE_ITERS = 6
+LINKPRED_MIN_COMMON = 25
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -75,6 +78,18 @@ def bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = l.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
 def supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     a = l.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("src"))
@@ -91,6 +106,17 @@ _BIP_CTE = f"""
 edges AS MATERIALIZED (
   SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + {SUPP_OFFSET} AS dst
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
+deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src)
+"""
+
+_PART_CTE = """
+edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ),
 sym AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
 verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
@@ -193,6 +219,58 @@ l{k} AS MATERIALIZED (
     )
 
 
+def _kcore_sql(k: int, iters: int) -> str:
+    ctes = ["a0 AS MATERIALIZED (SELECT id FROM verts)"]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT d.id FROM (
+    SELECT sym.src AS id, COUNT(*) AS d
+    FROM sym
+    JOIN a{i-1} p ON sym.src = p.id
+    JOIN a{i-1} q ON sym.dst = q.id
+    GROUP BY sym.src
+  ) d WHERE d.d >= {k}
+)"""
+        )
+    return "WITH " + _PART_CTE + ",\n" + ",\n".join(ctes) + f"\nSELECT id FROM a{iters}"
+
+
+_LINKPRED_PARTS_SQL = f"""
+WITH {_PART_CTE},
+wedges AS MATERIALIZED (
+  SELECT e1.dst AS a, e2.dst AS b, e1.src AS w
+  FROM sym e1 JOIN sym e2 ON e1.src = e2.src AND e1.dst < e2.dst
+),
+stats AS MATERIALIZED (
+  SELECT w.a, w.b, COUNT(*) AS common, SUM(1.0 / ln(d.deg)) AS aa
+  FROM wedges w JOIN deg d ON w.w = d.id
+  GROUP BY w.a, w.b
+),
+cand AS MATERIALIZED (
+  SELECT s.* FROM stats s LEFT JOIN edges e ON s.a = e.src AND s.b = e.dst
+  WHERE e.src IS NULL
+)
+SELECT c.a, c.b, c.common,
+       ROUND(c.common / (da.deg + db.deg - c.common), 6) AS jaccard,
+       ROUND(c.aa, 6) AS adamic_adar
+FROM cand c JOIN deg da ON c.a = da.id JOIN deg db ON c.b = db.id
+WHERE c.common >= {LINKPRED_MIN_COMMON}"""
+
+_CLUSTERING_PARTS_SQL = f"""
+WITH {_PART_CTE},
+tri AS MATERIALIZED (
+  SELECT COUNT(*) AS t
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+wed AS MATERIALIZED (
+  SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS w FROM deg
+)
+SELECT t AS triangles, w AS wedges, ROUND(3.0 * t / w, 6) AS coefficient
+FROM tri, wed"""
+
+
 _TRIANGLES_SQL = (
     "WITH " + _SUPP_CTE + """
 SELECT COUNT(*) AS triangles
@@ -293,6 +371,27 @@ def _q_lpa_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_cc_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = Graph(supplier_edges(spark, sf_dir))
     return connected_components(g, max_iter=CC_ITERS).state
+
+
+def _q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.algorithms.kcore import k_core
+
+    g = Graph(part_edges(spark, sf_dir))
+    return k_core(g, KCORE_K, max_iter=KCORE_ITERS).state
+
+
+def _q_linkpred_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.algorithms.structure import link_prediction
+
+    g = Graph(part_edges(spark, sf_dir))
+    return link_prediction(g, min_common=LINKPRED_MIN_COMMON)
+
+
+def _q_clustering_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.algorithms.structure import global_clustering_coefficient
+
+    g = Graph(part_edges(spark, sf_dir))
+    return global_clustering_coefficient(g)
 
 
 def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,6 +497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_bipartite": _q_lpa_bipartite,
         "cc_suppliers": _q_cc_suppliers,
         "triangles_suppliers": _q_triangles,
+        "kcore_parts": _q_kcore_parts,
+        "linkpred_parts": _q_linkpred_parts,
+        "clustering_parts": _q_clustering_parts,
         "degrees_bipartite": _q_degrees,
         "num_vertices_bipartite": _q_num_vertices,
         "top25_pagerank_bipartite": _q_topk_pagerank,
@@ -428,6 +530,9 @@ def oracle_sql() -> dict[str, str]:
         "lpa_bipartite": _lpa_sql(LPA_ITERS, _BIP_CTE),
         "cc_suppliers": _cc_sql(CC_ITERS, _SUPP_CTE),
         "triangles_suppliers": _TRIANGLES_SQL,
+        "kcore_parts": _kcore_sql(KCORE_K, KCORE_ITERS),
+        "linkpred_parts": _LINKPRED_PARTS_SQL,
+        "clustering_parts": _CLUSTERING_PARTS_SQL,
         "degrees_bipartite": "WITH " + _BIP_CTE + "\nSELECT id, deg FROM deg",
         "num_vertices_bipartite": "WITH " + _BIP_CTE
         + "\nSELECT COUNT(*) AS n_vertices FROM verts",

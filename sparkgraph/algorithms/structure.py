@@ -1,0 +1,96 @@
+"""Structural link-graph analytics: common-neighbor link prediction and
+clustering coefficient. Added surface (SURVEY.md §2C) — the bread-and-butter
+queries of a link graph over (repo,path) file nodes: "which files should
+probably import each other" is exactly common-neighbor scoring.
+
+All relational: wedge join on the simple graph, aggregate per pair, anti-join
+out existing edges. At scale the wedge join is bounded by Σ deg² — cap hubs
+first (``max_wedge_degree``) exactly like the co-change mega-commit guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkgraph.graph import Graph
+
+
+def _simple_sym(graph: Graph):
+    simple = graph.simple_undirected()
+    return simple.unionByName(
+        simple.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def link_prediction(
+    graph: Graph,
+    min_common: int = 1,
+    max_wedge_degree: int | None = None,
+) -> DataFrame:
+    """Non-adjacent pairs (a < b) with ≥ min_common common neighbors:
+    ``(a, b, common, jaccard, adamic_adar)`` — jaccard over neighbor sets,
+    Adamic-Adar = Σ_w 1/ln(deg w). Rounded to 6 dp."""
+    sym = _simple_sym(graph)
+    deg = sym.groupBy(F.col("u").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    if max_wedge_degree is not None:
+        ok = deg.filter(F.col("deg") <= max_wedge_degree).select(
+            F.col("id").alias("w")
+        )
+        wedge_mid = sym.join(ok.withColumnRenamed("w", "u"), "u", "left_semi")
+    else:
+        wedge_mid = sym
+    # wedges through w: (a=w's nbr1, b=w's nbr2), a < b
+    e1 = wedge_mid.select(F.col("u").alias("w"), F.col("v").alias("a"))
+    e2 = wedge_mid.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    dw = deg.select(F.col("id").alias("w"), F.col("deg").alias("wdeg"))
+    wedges = (
+        e1.join(e2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .join(dw, "w")
+    )
+    pair_stats = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("common"),
+        F.sum(1.0 / F.log("wdeg")).alias("aa"),
+    )
+    # drop already-adjacent pairs
+    existing = graph.simple_undirected().select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    )
+    candidates = pair_stats.join(existing, ["a", "b"], "left_anti")
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("degb"))
+    return (
+        candidates.join(da, "a")
+        .join(db, "b")
+        .filter(F.col("common") >= min_common)
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("dega") + F.col("degb") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+            F.round("aa", 6).alias("adamic_adar"),
+        )
+    )
+
+
+def global_clustering_coefficient(graph: Graph) -> DataFrame:
+    """Single row ``(triangles, wedges, coefficient)`` on the simple graph:
+    coefficient = 3·triangles / wedges (0.0 for wedge-free graphs)."""
+    from sparkgraph.algorithms.triangles import triangle_count
+
+    t = triangle_count(graph)
+    sym = _simple_sym(graph)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    w = deg.agg(F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("w")).collect()[0][
+        "w"
+    ]
+    wedges = int(w or 0)
+    coeff = round(3.0 * t / wedges, 6) if wedges else 0.0
+    return graph.spark.createDataFrame(
+        [(t, wedges, coeff)], "triangles long, wedges long, coefficient double"
+    )
