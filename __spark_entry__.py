@@ -219,6 +219,62 @@ l{k} AS MATERIALIZED (
     )
 
 
+def _ppr_sql(iters: int, source: int) -> str:
+    tp = f"CASE WHEN t.id = {source} THEN 0.15 ELSE 0 END"
+    ctes = [
+        f"x1 AS MATERIALIZED (SELECT id, CASE WHEN id = {source} THEN 0.15 ELSE 0 END AS v FROM verts)"
+    ]
+    for k in range(2, iters + 1):
+        ctes.append(
+            f"""x{k} AS MATERIALIZED (
+  SELECT t.id, {tp} + 0.85 * COALESCE(m.s, 0) AS v
+  FROM verts t LEFT JOIN (
+    SELECT sym.dst AS id, SUM(p.v / deg.deg) AS s
+    FROM sym JOIN x{k-1} p ON sym.src = p.id JOIN deg ON sym.src = deg.id
+    GROUP BY sym.dst
+  ) m ON t.id = m.id
+)"""
+        )
+    return (
+        "WITH " + _BIP_CTE + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(v, 9) AS score FROM x{iters}"
+    )
+
+
+def _hits_sql(iters: int) -> str:
+    ctes = ["s0 AS MATERIALIZED (SELECT id, 1.0 AS hub, 1.0 AS auth FROM verts)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT s.id,
+         COALESCE(h.hr, 0) AS hub_raw,
+         COALESCE(a.ar, 0) AS auth_raw
+  FROM s{k-1} s
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.hub) AS ar
+    FROM edges e JOIN s{k-1} p ON e.src = p.id GROUP BY e.dst
+  ) a ON s.id = a.id
+  LEFT JOIN (
+    SELECT e.src AS id, SUM(q.ar2) AS hr
+    FROM edges e JOIN (
+      SELECT e2.dst AS id, SUM(p2.hub) AS ar2
+      FROM edges e2 JOIN s{k-1} p2 ON e2.src = p2.id GROUP BY e2.dst
+    ) q ON e.dst = q.id GROUP BY e.src
+  ) h ON s.id = h.id
+),
+s{k} AS MATERIALIZED (
+  SELECT id,
+         hub_raw / (SELECT SUM(hub_raw) FROM r{k}) AS hub,
+         auth_raw / (SELECT SUM(auth_raw) FROM r{k}) AS auth
+  FROM r{k}
+)"""
+        )
+    return (
+        "WITH " + _BIP_CTE + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(hub, 9) AS hub, ROUND(auth, 9) AS auth FROM s{iters}"
+    )
+
+
 def _kcore_sql(k: int, iters: int) -> str:
     ctes = ["a0 AS MATERIALIZED (SELECT id FROM verts)"]
     for i in range(1, iters + 1):
@@ -373,6 +429,25 @@ def _q_cc_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(g, max_iter=CC_ITERS).state
 
 
+HITS_ITERS = 6
+PPR_SOURCE = 1
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.algorithms.hits import hits
+
+    res = hits(bipartite_edges(spark, sf_dir), iterations=HITS_ITERS)
+    return res.state.select(
+        "id", F.round("hub", 9).alias("hub"), F.round("auth", 9).alias("auth")
+    )
+
+
+def _q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = Graph(bipartite_edges(spark, sf_dir))
+    res = pagerank(g, mode="reference", iterations=PR_ITERS, reset_to=PPR_SOURCE)
+    return res.state.select("id", F.round("value", 9).alias("score"))
+
+
 def _q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkgraph.algorithms.kcore import k_core
 
@@ -500,6 +575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_parts": _q_kcore_parts,
         "linkpred_parts": _q_linkpred_parts,
         "clustering_parts": _q_clustering_parts,
+        "hits_bipartite": _q_hits,
+        "ppr_bipartite": _q_ppr,
         "degrees_bipartite": _q_degrees,
         "num_vertices_bipartite": _q_num_vertices,
         "top25_pagerank_bipartite": _q_topk_pagerank,
@@ -533,6 +610,8 @@ def oracle_sql() -> dict[str, str]:
         "kcore_parts": _kcore_sql(KCORE_K, KCORE_ITERS),
         "linkpred_parts": _LINKPRED_PARTS_SQL,
         "clustering_parts": _CLUSTERING_PARTS_SQL,
+        "hits_bipartite": _hits_sql(HITS_ITERS),
+        "ppr_bipartite": _ppr_sql(PR_ITERS, PPR_SOURCE),
         "degrees_bipartite": "WITH " + _BIP_CTE + "\nSELECT id, deg FROM deg",
         "num_vertices_bipartite": "WITH " + _BIP_CTE
         + "\nSELECT COUNT(*) AS n_vertices FROM verts",

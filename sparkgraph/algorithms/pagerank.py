@@ -43,6 +43,7 @@ def pagerank(
     resume: bool = False,
     salting_threshold: int | None = None,
     salts: int = 16,
+    reset_to: int | None = None,
 ) -> PregelResult:
     """Returns state ``(id, value)``; ``result.metrics`` carries per-superstep
     wall time and (in convergence mode) the max-abs delta.
@@ -50,19 +51,29 @@ def pagerank(
     ``salting_threshold``: when set, gathers for vertices whose symmetrized
     degree exceeds it run through the explicit two-phase salted aggregation
     (sparkgraph.skew) instead of the single-phase groupBy — the escape hatch
-    for hub skew beyond what map-side partial aggregation + AQE absorb."""
+    for hub skew beyond what map-side partial aggregation + AQE absorb.
+
+    ``reset_to``: personalized PageRank — the teleport mass (1−damping) lands
+    entirely on this vertex instead of uniformly on all N (random walk with
+    restart). Scores are the restart vertex's proximity distribution."""
     if mode not in ("reference", "convergence"):
         raise ValueError(f"unknown mode {mode!r}")
     spark = graph.spark
     n = graph.num_vertices
     if n == 0:
         raise ValueError("graph has no vertices (empty or comment-only input)")
-    teleport = (1.0 - damping) / n
+    if reset_to is None:
+        teleport_col = F.lit((1.0 - damping) / n)
+    else:
+        teleport_col = F.when(
+            F.col("id") == reset_to, F.lit(1.0 - damping)
+        ).otherwise(F.lit(0.0))
     edges = graph.edges_sym
 
     loop = SuperstepLoop(
         "pagerank",
-        {"mode": mode, "iterations": iterations, "tol": tol, "damping": damping, "n": n},
+        {"mode": mode, "iterations": iterations, "tol": tol, "damping": damping,
+         "n": n, "reset_to": reset_to},
         checkpointer,
         resume,
     )
@@ -125,7 +136,7 @@ def pagerank(
                 "id",
                 "deg",
                 (
-                    F.lit(teleport) + F.lit(damping) * F.coalesce("msum", F.lit(0.0))
+                    teleport_col + F.lit(damping) * F.coalesce("msum", F.lit(0.0))
                 ).alias("value"),
                 F.col("value").alias("prev"),
             )
