@@ -88,6 +88,65 @@ def streaming_dedup(
     )
 
 
+def sessionized_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session windows (gap-based) per key — the declarative path: Spark's
+    built-in ``session_window`` handles state, merging, and watermark GC."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def ewma_per_user(
+    events: DataFrame,
+    alpha: float = 0.3,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    exponentially-weighted moving average of ``value`` maintained across
+    micro-batches (state = (count, ewma)). The kind of per-key logic
+    session_window/agg can't express — the intended use of the arbitrary
+    stateful API. Emits one row per key per micro-batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        (k,) = key
+        cnt, ewma = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for v in pdf[value_col].astype(float):
+                ewma = v if cnt == 0 else alpha * v + (1 - alpha) * ewma
+                cnt += 1
+        state.update((cnt, float(ewma)))
+        yield pd.DataFrame(
+            {key_col: [k], "n_events": [cnt], "ewma": [round(float(ewma), 9)]}
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, n_events long, ewma double",
+        stateStructType="cnt long, ewma double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "update"
 ) -> DataFrame:

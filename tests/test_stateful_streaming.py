@@ -1,0 +1,92 @@
+"""Session windows + arbitrary stateful (applyInPandasWithState) operators,
+including state survival across restarts via the streaming checkpoint."""
+
+import math
+
+import pandas as pd
+import pytest
+
+from sparkgraph.streaming import ewma_per_user, run_to_memory, sessionized_counts
+
+
+def _write_events(path, rows):
+    pd.DataFrame(
+        {
+            "ts": pd.to_datetime([r[0] for r in rows]),
+            "user_id": [r[1] for r in rows],
+            "value": [float(r[2]) for r in rows],
+        }
+    ).astype({"ts": "datetime64[us]"}).to_parquet(path)
+
+
+SCHEMA = "ts timestamp, user_id long, value double"
+
+
+def test_session_windows(spark, tmp_path):
+    d = tmp_path / "ev"
+    d.mkdir()
+    _write_events(
+        d / "p1.parquet",
+        [
+            ("2024-01-01 00:00:00", 1, 1.0),
+            ("2024-01-01 00:02:00", 1, 1.0),  # same session (gap 5m)
+            ("2024-01-01 00:20:00", 1, 1.0),  # new session
+            ("2024-01-01 00:00:30", 2, 1.0),
+        ],
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(str(d))
+    # session-window aggs don't allow update mode; complete keeps all sessions
+    out = run_to_memory(sessionized_counts(stream), "sess_t", "complete")
+    rows = {(r.user_id, str(r.session_start)): r.n_events for r in out.collect()}
+    assert rows[(1, "2024-01-01 00:00:00")] == 2
+    assert rows[(1, "2024-01-01 00:20:00")] == 1
+    assert rows[(2, "2024-01-01 00:00:30")] == 1
+
+
+def _ewma_oracle(values, alpha=0.3):
+    e = None
+    for v in values:
+        e = v if e is None else alpha * v + (1 - alpha) * e
+    return e
+
+
+def test_ewma_stateful_and_resumes_across_restart(spark, tmp_path):
+    d = tmp_path / "ev2"
+    d.mkdir()
+    ck = str(tmp_path / "ck")
+    _write_events(
+        d / "p1.parquet",
+        [("2024-01-01 00:00:00", 7, 10.0), ("2024-01-01 00:01:00", 7, 20.0)],
+    )
+
+    def drain(name):
+        stream = spark.readStream.schema(SCHEMA).parquet(str(d))
+        got = {}
+
+        def sink(batch_df, _batch_id):
+            for r in batch_df.collect():
+                got[r.user_id] = (r.n_events, r.ewma)
+
+        # foreachBatch sink: supports checkpoint recovery (memory sink doesn't)
+        q = (
+            ewma_per_user(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    got1 = drain("ewma_a")
+    assert got1[7][0] == 2
+    assert math.isclose(got1[7][1], _ewma_oracle([10.0, 20.0]), abs_tol=1e-9)
+
+    # "restart": new files + same checkpoint — state must carry over
+    _write_events(d / "p2.parquet", [("2024-01-01 00:02:00", 7, 30.0)])
+    got2 = drain("ewma_b")
+    assert got2[7][0] == 3
+    assert math.isclose(
+        got2[7][1], _ewma_oracle([10.0, 20.0, 30.0]), abs_tol=1e-9
+    )
