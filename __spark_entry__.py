@@ -414,6 +414,13 @@ def _q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(g, max_iter=CC_ITERS).state
 
 
+def _q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.algorithms.components_star import connected_components_star
+
+    g = Graph(bipartite_edges(spark, sf_dir))
+    return connected_components_star(g).state
+
+
 def _q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = Graph(supplier_edges(spark, sf_dir))
     return label_propagation(g, max_iter=LPA_ITERS).state
@@ -571,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_suppliers": _q_lpa,
         "lpa_bipartite": _q_lpa_bipartite,
         "cc_suppliers": _q_cc_suppliers,
+        "cc_star_bipartite": _q_cc_star,
         "triangles_suppliers": _q_triangles,
         "kcore_parts": _q_kcore_parts,
         "linkpred_parts": _q_linkpred_parts,
@@ -606,6 +614,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_suppliers": _lpa_sql(LPA_ITERS, _SUPP_CTE),
         "lpa_bipartite": _lpa_sql(LPA_ITERS, _BIP_CTE),
         "cc_suppliers": _cc_sql(CC_ITERS, _SUPP_CTE),
+        "cc_star_bipartite": _cc_sql(CC_ITERS, _BIP_CTE),
         "triangles_suppliers": _TRIANGLES_SQL,
         "kcore_parts": _kcore_sql(KCORE_K, KCORE_ITERS),
         "linkpred_parts": _LINKPRED_PARTS_SQL,
