@@ -44,6 +44,7 @@ def pagerank(
     salting_threshold: int | None = None,
     salts: int = 16,
     reset_to: int | None = None,
+    weighted: bool = False,
 ) -> PregelResult:
     """Returns state ``(id, value)``; ``result.metrics`` carries per-superstep
     wall time and (in convergence mode) the max-abs delta.
@@ -55,7 +56,12 @@ def pagerank(
 
     ``reset_to``: personalized PageRank — the teleport mass (1−damping) lands
     entirely on this vertex instead of uniformly on all N (random walk with
-    restart). Scores are the restart vertex's proximity distribution."""
+    restart). Scores are the restart vertex's proximity distribution.
+
+    ``weighted``: contributions proportional to edge weight
+    (``value·w/Σw(out)``) instead of the reference's uniform ``value/deg``
+    (weights are hard-coded 1.0 in the reference loader, worker/worker.go:165
+    — both modes agree on unit-weight graphs)."""
     if mode not in ("reference", "convergence"):
         raise ValueError(f"unknown mode {mode!r}")
     spark = graph.spark
@@ -85,9 +91,15 @@ def pagerank(
         state = truncate_lineage(state.select("id", "deg", "value"))
     else:
         start_step = 0
+        deg_src = (
+            graph.weighted_degrees.withColumnRenamed("wdeg", "deg")
+            if weighted
+            else graph.degrees
+        )
         state = truncate_lineage(
-            graph.vertices.join(graph.degrees, "id").select(
-                "id", "deg", F.lit(init_value).alias("value")
+            graph.vertices.join(deg_src, "id").select(
+                "id", F.col("deg").cast("double").alias("deg"),
+                F.lit(init_value).alias("value"),
             )
         )
 
@@ -115,8 +127,11 @@ def pagerank(
         )
         # shuffle-hash: build on the (small) state side, stream the persisted
         # pre-partitioned edge side without re-sorting it each superstep
+        msg_expr = (
+            (F.col("contrib") * F.col("weight")) if weighted else F.col("contrib")
+        )
         msgs = edges.join(src_state.hint("shuffle_hash"), "src").select(
-            "dst", F.col("contrib").alias("msg")
+            "dst", msg_expr.alias("msg")
         )
         # Gather (A6+A7): sum per destination; partial agg before the shuffle.
         if hubs is not None:

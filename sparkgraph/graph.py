@@ -100,6 +100,14 @@ class Graph:
         return self._degrees
 
     @property
+    def weighted_degrees(self) -> DataFrame:
+        """(id, wdeg: double) — sum of outgoing edge weights on the
+        symmetrized view (== degrees when all weights are 1.0)."""
+        return self.edges_sym.groupBy(F.col("src").alias("id")).agg(
+            F.sum("weight").alias("wdeg")
+        )
+
+    @property
     def num_vertices(self) -> int:
         if self._num_vertices is None:
             self._num_vertices = self.vertices.count()
