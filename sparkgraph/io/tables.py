@@ -90,6 +90,28 @@ class TableIO:
             return
         shutil.rmtree(self._dir(name), ignore_errors=True)
 
+    # -- bucketed edge tables (at-rest co-location) ---------------------------
+
+    def save_bucketed_edges(
+        self, edges: DataFrame, name: str, buckets: int = 32
+    ) -> None:
+        """Persist an edge table hash-bucketed AND sorted by ``src`` in the
+        session catalog. A scan of this table already satisfies
+        HashPartitioning(src) — the superstep scatter join and degree
+        aggregation start WITHOUT the initial repartition shuffle (the
+        at-rest analogue of Graph.edges_sym's repartition+sort; on a real
+        deployment this is the Iceberg bucket transform)."""
+        (
+            edges.write.mode("overwrite")
+            .bucketBy(buckets, "src")
+            .sortBy("src")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+
+    def load_bucketed_edges(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
     def list_tables(self) -> list[str]:
         """LS/STORE."""
         if not os.path.isdir(self.root):
