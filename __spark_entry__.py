@@ -414,6 +414,23 @@ def _q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(g, max_iter=CC_ITERS).state
 
 
+def _q_sssp_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.kernels import sssp_csr
+
+    g = Graph(bipartite_edges(spark, sf_dir))
+    res = sssp_csr(g, source=SSSP_SOURCE, max_iter=SSSP_ITERS)
+    return res.state.filter(F.col("dist") != float("inf")).select(
+        "id", F.col("dist").cast("long").alias("dist")
+    )
+
+
+def _q_cc_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.kernels import cc_csr
+
+    g = Graph(bipartite_edges(spark, sf_dir))
+    return cc_csr(g, max_iter=CC_ITERS).state
+
+
 def _q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkgraph.algorithms.components_star import connected_components_star
 
@@ -579,6 +596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_bipartite": _q_lpa_bipartite,
         "cc_suppliers": _q_cc_suppliers,
         "cc_star_bipartite": _q_cc_star,
+        "sssp_csr_bipartite": _q_sssp_csr,
+        "cc_csr_bipartite": _q_cc_csr,
         "triangles_suppliers": _q_triangles,
         "kcore_parts": _q_kcore_parts,
         "linkpred_parts": _q_linkpred_parts,
@@ -615,6 +634,8 @@ def oracle_sql() -> dict[str, str]:
         "lpa_bipartite": _lpa_sql(LPA_ITERS, _BIP_CTE),
         "cc_suppliers": _cc_sql(CC_ITERS, _SUPP_CTE),
         "cc_star_bipartite": _cc_sql(CC_ITERS, _BIP_CTE),
+        "sssp_csr_bipartite": _sssp_sql(SSSP_ITERS, SSSP_SOURCE),
+        "cc_csr_bipartite": _cc_sql(CC_ITERS, _BIP_CTE),
         "triangles_suppliers": _TRIANGLES_SQL,
         "kcore_parts": _kcore_sql(KCORE_K, KCORE_ITERS),
         "linkpred_parts": _LINKPRED_PARTS_SQL,
