@@ -61,6 +61,12 @@ def main(argv: list[str] | None = None) -> int:
     common(lp)
     lp.add_argument("--max-iter", type=int, default=10)
     common(sub.add_parser("triangles"))
+    h = sub.add_parser("hits")
+    common(h)
+    h.add_argument("--iterations", type=int, default=10)
+    kc = sub.add_parser("kcore")
+    common(kc)
+    kc.add_argument("--k", type=int, required=True)
     ing = sub.add_parser("ingest")
     ing.add_argument("--master", default=None)
     ing.add_argument("--input", required=True, help="sources table (parquet)")
@@ -127,6 +133,14 @@ def main(argv: list[str] | None = None) -> int:
             from sparkgraph.algorithms import triangle_count
             print(json.dumps({"triangles": triangle_count(g)}))
             return 0
+        elif args.cmd == "hits":
+            from sparkgraph.algorithms.hits import hits
+            res = hits(g.edges, iterations=args.iterations)
+            out = res.state.withColumnRenamed("auth", "value")
+        elif args.cmd == "kcore":
+            from sparkgraph.algorithms.kcore import k_core
+            res = k_core(g, args.k)
+            out = res.state.select("id", F.lit(1.0).alias("value"))
         else:  # pragma: no cover
             raise AssertionError(args.cmd)
 
