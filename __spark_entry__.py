@@ -404,7 +404,7 @@ def _q_salted_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = Graph(bipartite_edges(spark, sf_dir))
     res = sssp(g, source=SSSP_SOURCE, max_iter=SSSP_ITERS)
-    return res.state.filter(~F.isnan("dist") & (F.col("dist") != float("inf"))).select(
+    return res.state.filter(F.col("dist") != float("inf")).select(
         "id", F.col("dist").cast("long").alias("dist")
     )
 

@@ -44,6 +44,7 @@ def connected_components(
         )
 
     step = start_step
+    converged = False
     while step < max_iter:
         loop.step_started()
         frontier = state.filter("changed").select(
@@ -68,6 +69,7 @@ def connected_components(
         state = new_state
         loop.step_done(state, step, changed=changed)
         if changed == 0:
+            converged = True
             break
 
-    return loop.finish(state, step, converged=True, result=state.select("id", "component"))
+    return loop.finish(state, step, converged, result=state.select("id", "component"))

@@ -72,6 +72,7 @@ def connected_components_star(graph: Graph, max_iter: int = 50) -> PregelResult:
     )
     fp = _fingerprint(pairs)
     step = 0
+    converged = False
     while step < max_iter:
         loop.step_started()
         pairs = truncate_lineage(_star(_star(pairs, large=True), large=False))
@@ -79,13 +80,18 @@ def connected_components_star(graph: Graph, max_iter: int = 50) -> PregelResult:
         step += 1
         loop.step_done(pairs, step, changed=0 if new_fp == fp else 1)
         if new_fp == fp:
+            converged = True
             break
         fp = new_fp
 
     # stars: every non-root (a) points at its component root (b); roots and
-    # isolated-in-simple-graph vertices (self-loop-only) label themselves
-    labels = pairs.select(F.col("a").alias("id"), F.col("b").alias("component"))
+    # isolated-in-simple-graph vertices (self-loop-only) label themselves.
+    # min-aggregate defends against a non-star edge set when max_iter cut the
+    # fixpoint loop short (converged=False) — one label per vertex either way
+    labels = pairs.groupBy(F.col("a").alias("id")).agg(
+        F.min("b").alias("component")
+    )
     state = verts.join(labels, "id", "left").select(
         "id", F.coalesce("component", "id").alias("component")
     )
-    return loop.finish(state, step, converged=True, result=state)
+    return loop.finish(state, step, converged, result=state)

@@ -20,8 +20,13 @@ from sparkgraph.pregel import PregelResult, SuperstepLoop, truncate_lineage
 
 def hits(edges: DataFrame, iterations: int = 10) -> PregelResult:
     """``edges(src, dst)`` directed → state ``(id, hub, auth)`` for every
-    endpoint; L1-normalized per iteration."""
+    endpoint; L1-normalized per iteration. Raises on an empty edge table; a
+    degenerate side whose raw sum is 0 skips that side's normalization
+    (values stay 0 rather than dividing to NaN)."""
     edges = edges.select("src", "dst").persist()
+    if edges.isEmpty():
+        edges.unpersist()
+        raise ValueError("hits: empty edge table (no vertices to score)")
     verts = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
@@ -57,11 +62,13 @@ def hits(edges: DataFrame, iterations: int = 10) -> PregelResult:
         sums = s2.agg(
             F.sum("hub").alias("sh"), F.sum("auth").alias("sa")
         ).collect()[0]
+        sh = sums["sh"] or 0.0
+        sa = sums["sa"] or 0.0
         state = truncate_lineage(
             s2.select(
                 "id",
-                (F.col("hub") / F.lit(sums["sh"])).alias("hub"),
-                (F.col("auth") / F.lit(sums["sa"])).alias("auth"),
+                (F.col("hub") / F.lit(sh)).alias("hub") if sh else F.col("hub"),
+                (F.col("auth") / F.lit(sa)).alias("auth") if sa else F.col("auth"),
             )
         )
         loop.step_done(state, step)

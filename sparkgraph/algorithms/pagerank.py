@@ -137,9 +137,7 @@ def pagerank(
         if hubs is not None:
             from sparkgraph.skew import salted_message_sum
 
-            sums = salted_message_sum(msgs, hubs, salts=salts).withColumnRenamed(
-                "msum", "msum"
-            )
+            sums = salted_message_sum(msgs, hubs, salts=salts)
         else:
             sums = msgs.groupBy(F.col("dst").alias("id")).agg(
                 F.sum("msg").alias("msum")

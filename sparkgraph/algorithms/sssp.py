@@ -53,6 +53,7 @@ def sssp(
         )
 
     step = start_step
+    converged = False
     while step < max_iter:
         loop.step_started()
         frontier = state.filter("changed").select(
@@ -74,6 +75,7 @@ def sssp(
         state = new_state
         loop.step_done(state, step, changed=changed)
         if changed == 0:
+            converged = True
             break
 
-    return loop.finish(state, step, converged=True, result=state.select("id", "dist"))
+    return loop.finish(state, step, converged, result=state.select("id", "dist"))

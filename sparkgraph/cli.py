@@ -119,7 +119,11 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "sssp":
             from sparkgraph.algorithms import sssp
             res = sssp(g, source=args.source, checkpointer=ck, resume=args.resume)
-            out = res.state.withColumnRenamed("dist", "value")
+            # unreachable vertices keep dist=+inf: JSON-unserializable and
+            # useless in a report — drop them, and report NEAREST first
+            out = res.state.filter(F.col("dist") != float("inf")).withColumnRenamed(
+                "dist", "value"
+            )
         elif args.cmd == "cc":
             from sparkgraph.algorithms import connected_components
             res = connected_components(g, checkpointer=ck, resume=args.resume)
@@ -146,10 +150,10 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.output:
             out.write.mode("overwrite").parquet(args.output)
-        # reference result report: top-k by value descending (A12)
-        rows = (
-            out.orderBy(F.desc("value"), F.asc("id")).limit(args.top).collect()
-        )
+        # reference result report: top-k by value descending (A12);
+        # sssp reports nearest-first (ascending distance)
+        order = F.asc("value") if args.cmd == "sssp" else F.desc("value")
+        rows = out.orderBy(order, F.asc("id")).limit(args.top).collect()
         print(json.dumps({
             "supersteps": res.supersteps,
             "converged": res.converged,

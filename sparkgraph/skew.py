@@ -35,9 +35,12 @@ def salted_agg(
     """Two-phase aggregation of ``agg_fn(agg_col)`` grouped by ``key``:
 
       phase 1: groupBy(key, salt) — the hot key's rows spread over ``salts``
-               reduce tasks (salt = deterministic hash of the full row id via
-               ``spark_partition_id`` + monotonic id, so no extra column is
-               required from the caller);
+               reduce tasks. The salt is ``monotonically_increasing_id() %
+               salts``: it needs no extra column from the caller and spreads
+               identical rows (content hashing would re-collapse them), but it
+               is NOT stable across task retries/repartitioning — safe here
+               only because the phase-2 merge of an algebraic aggregate is
+               salt-assignment-invariant;
       phase 2: groupBy(key) over the ``salts`` partials.
 
     ``merge_fn`` defaults to ``agg_fn`` (correct for sum/min/max; pass
