@@ -40,10 +40,11 @@ from sparkgraph.skew import salted_message_sum, top_degree_hubs
 from sparkgraph.text import (
     exact_dedup,
     language_id,
-    minhash_lsh_pairs,
+    minhash_lsh_neardup_pairs,
     ngram_jaccard_pairs,
     quality_score,
     simhash,
+    simhash_pairs,
     token_stats,
 )
 
@@ -370,6 +371,72 @@ SELECT a, b, ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
 WHERE ROUND(i / (sa.sz + sb.sz - i), 6) >= 0.5"""
 
+FP_N, FP_K = 5, 8
+SIMHASH_BITS = 48
+SIMHASH_BANDS = 8
+SIMHASH_MAX_HAMMING = 7
+
+
+def _fingerprint_sql(n: int = FP_N, k: int = FP_K) -> str:
+    """Portable poly31 winnowing fingerprint (text.py char_ngram_fingerprint
+    hash='poly31'): k smallest distinct gram hashes, projected to scalars."""
+    terms = " + ".join(
+        f"(CASE WHEN length(text) >= i+{d} THEN ord(substr(text, i+{d}, 1)) "
+        f"ELSE 0 END) * {31 ** (n - 1 - d)}"
+        for d in range(n)
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id, {terms} AS hv
+  FROM documents, UNNEST(generate_series(1, GREATEST(length(text)-{n}, 0)+1)) AS t(i)
+),
+d AS (SELECT DISTINCT doc_id, hv FROM g),
+r AS (SELECT doc_id, hv, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hv) AS rn FROM d)
+SELECT doc_id AS id, MIN(hv) AS min_hash, SUM(hv) AS fp_sum, COUNT(*) AS fp_len
+FROM r WHERE rn <= {k} GROUP BY doc_id"""
+
+
+def _simhash_cte(bits: int = SIMHASH_BITS) -> str:
+    """CTE chain ending in ``s(id, simhash)`` — portable md5 simhash
+    (text.py simhash hash='md5'): bit j from hex digit j//4 of md5(token)."""
+    n_digits = (bits + 3) // 4
+    digit_cols = ",\n    ".join(
+        f"strpos('0123456789abcdef', substr(md5(t), {kk + 1}, 1)) - 1 AS d{kk}"
+        for kk in range(n_digits)
+    )
+    bit_sums = ",\n    ".join(
+        f"SUM((d{j // 4} // {1 << (j % 4)}) % 2) AS b{j}" for j in range(bits)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN 2*b{j} >= n THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+tok AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS t FROM documents),
+d AS MATERIALIZED (
+  SELECT doc_id,
+    {digit_cols}
+  FROM tok
+),
+agg AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS n,
+    {bit_sums}
+  FROM d GROUP BY doc_id
+),
+s AS MATERIALIZED (SELECT doc_id AS id, {packed} AS simhash FROM agg)"""
+
+
+_SIMHASH_SQL = "WITH " + _simhash_cte() + "\nSELECT id, simhash FROM s"
+
+_SIMHASH_PAIRS_SQL = (
+    "WITH " + _simhash_cte()
+    + f"""
+SELECT a.id AS a, b.id AS b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM s a JOIN s b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}"""
+)
+
 _COSINE_SQL = """
 SELECT e.vec_id,
        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
@@ -562,22 +629,47 @@ def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check (array column): winnowing-style min-k rolling-hash
+    # portable poly31 hash so the DuckDB oracle replicates values exactly;
+    # the xxhash64 production path shares all winnowing logic (pytest-covered)
     from sparkgraph.text import char_ngram_fingerprint
 
-    fp = char_ngram_fingerprint(_read(spark, sf_dir, "documents"))
-    return fp.select("id", F.col("fingerprint")[0].alias("min_hash"),
-                     F.size("fingerprint").alias("fp_len"))
+    fp = char_ngram_fingerprint(
+        _read(spark, sf_dir, "documents"), n=FP_N, k=FP_K, hash="poly31"
+    )
+    return fp.select(
+        "id",
+        F.col("fingerprint")[0].alias("min_hash"),
+        F.aggregate(
+            "fingerprint", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("fp_sum"),
+        F.size("fingerprint").alias("fp_len"),
+    )
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no SQL oracle (banded LSH candidate generation) — rows-only check
-    return minhash_lsh_pairs(_read(spark, sf_dir, "documents"), threshold=0.5)
+    # the SCALE path (banded LSH candidates + exact-Jaccard verify of
+    # candidates only) gated against the all-pairs exact-Jaccard oracle:
+    # identical results when LSH recall is 1.0 on the planted near-dups
+    return minhash_lsh_neardup_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.5
+    )
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no SQL oracle (bitwise signature) — rows-only check
-    return simhash(_read(spark, sf_dir, "documents"))
+    # portable md5-digit simhash — bit-exact DuckDB oracle
+    return simhash(
+        _read(spark, sf_dir, "documents"), bits=SIMHASH_BITS, hash="md5"
+    )
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hamming-banded near-dup pairs; max_hamming < bands ⇒ pigeonhole makes
+    # the banded join EXACTLY equal to the all-pairs oracle sweep
+    sig = simhash(_read(spark, sf_dir, "documents"), bits=SIMHASH_BITS, hash="md5")
+    return simhash_pairs(
+        sig, bits=SIMHASH_BITS, bands=SIMHASH_BANDS,
+        max_hamming=SIMHASH_MAX_HAMMING,
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -619,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": _q_fingerprint,
         "minhash_lsh_documents": _q_minhash_lsh,
         "simhash_documents": _q_simhash,
+        "simhash_pairs_documents": _q_simhash_pairs,
     }
 
 
@@ -685,4 +778,8 @@ WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.4""",
         "events_windowed": """
 SELECT date_trunc('minute', ts) AS minute, event_type, COUNT(*) AS n
 FROM events GROUP BY 1, 2""",
+        "fingerprint_documents": _fingerprint_sql(),
+        "minhash_lsh_documents": _JACCARD_SQL,
+        "simhash_documents": _SIMHASH_SQL,
+        "simhash_pairs_documents": _SIMHASH_PAIRS_SQL,
     }

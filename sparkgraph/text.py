@@ -45,22 +45,48 @@ def bpe_ish_token_count(col) -> "F.Column":
     return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_RE), 0))
 
 
+def _poly31_hash(g, n: int):
+    """Portable polynomial hash of an ≤n-char gram: Σ code(c_i)·31^(n-1-i)
+    with code = unicode point, 0 past the end. Bounded by 255·31^(n-1)·n —
+    exact in int64 for n ≤ 11. Chosen because BOTH Spark and DuckDB compute it
+    with plain arithmetic (ascii/ord + substr), so the DuckDB oracle can
+    replicate fingerprints value-exactly; xxhash64 stays the production
+    default (faster, better-mixed)."""
+    acc = F.lit(0).cast("long")
+    for d in range(n):
+        acc = acc + F.ascii(F.substring(g, d + 1, 1)).cast("long") * (
+            31 ** (n - 1 - d)
+        )
+    return acc
+
+
 def char_ngram_fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    n: int = 5, k: int = 8,
+    n: int = 5, k: int = 8, hash: str = "xxhash64",
 ) -> DataFrame:
-    """Rolling-hash document fingerprint: the k smallest xxhash64 values over
+    """Rolling-hash document fingerprint: the k smallest hash values over
     the document's character n-grams (winnowing-style min-sampling). Equal
     fingerprints ⇒ near-identical content; overlap size estimates Jaccard.
     Returns (id, fingerprint: array<long> ascending).
+
+    ``hash``: 'xxhash64' (production) or 'poly31' (portable — replicable in
+    ANSI SQL for the value-exact oracle gate; weaker mixing, same min-k
+    winnowing semantics).
     """
     t = F.col(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.length(t) - n, F.lit(0))),
-        lambda i: t.substr(i + 1, F.lit(n)),
-    )
+    if hash == "xxhash64":
+        gram_hash = lambda i: F.xxhash64(t.substr(i + 1, F.lit(n)))  # noqa: E731
+    elif hash == "poly31":
+        gram_hash = lambda i: _poly31_hash(t.substr(i + 1, F.lit(n)), n)  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash {hash!r}")
     hashes = F.array_sort(
-        F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.length(t) - n, F.lit(0))),
+                gram_hash,
+            )
+        )
     )
     return df.select(
         F.col(id_col).alias("id"), F.slice(hashes, 1, k).alias("fingerprint")
@@ -204,20 +230,24 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
-    threshold: float = 0.5,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash-LSH, then exact-Jaccard
-    verified (estimate from the signature): (a, b, est_jaccard ≥ threshold).
+    """Candidate pairs ``(a, b, siga, sigb)`` (a < b) via banded MinHash-LSH.
 
     bands must divide num_hashes; rows-per-band r = num_hashes/bands gives the
     usual S-curve: P(candidate) = 1 − (1 − s^r)^bands.
+
+    ``max_bucket_size`` caps the within-bucket join: a band bucket holding
+    > max_bucket_size docs (a degenerate near-constant corpus) is dropped
+    before it can generate a quadratic pair set — run exact dedup (sha256
+    groupBy) first so such buckets are true pathologies, not data.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -241,14 +271,37 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", "sig", "bk.band", "bk.bucket")
+    sizes = band_keys.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    band_keys = band_keys.join(
+        F.broadcast(sizes.filter(F.col("bsz") > max_bucket_size)),
+        ["band", "bucket"],
+        "left_anti",
+    )
 
     lhs = band_keys.select("band", "bucket", F.col("id").alias("a"), F.col("sig").alias("siga"))
     rhs = band_keys.select("band", "bucket", F.col("id").alias("b"), F.col("sig").alias("sigb"))
-    cand = (
+    return (
         lhs.join(rhs, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", "siga", "sigb")
         .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH, scored by the signature
+    estimate: (a, b, est_jaccard ≥ threshold)."""
+    cand = minhash_lsh_candidates(
+        df, id_col, text_col, n, num_hashes, bands, max_bucket_size
     )
     est = F.aggregate(
         F.zip_with("siga", "sigb", lambda x, y: (x == y).cast("int")),
@@ -261,28 +314,161 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """The scale-path near-dup operator: banded-LSH candidate generation, then
+    EXACT n-gram Jaccard verification of candidates only —
+    ``(a, b, jaccard ≥ threshold)``.
+
+    Verification joins each candidate pair against per-doc distinct-shingle
+    ARRAYS (bounded by doc length), so its cost is O(candidates · doc size),
+    never the corpus-wide quadratic sweep of ``ngram_jaccard_pairs``. False
+    LSH positives are filtered exactly; false negatives follow the S-curve
+    P(miss) = (1 − s^r)^bands — negligible above the threshold knee.
+    """
+    cand = minhash_lsh_candidates(
+        df, id_col, text_col, n, num_hashes, bands, max_bucket_size
+    ).select("a", "b")
+    sh = shingles(df, id_col, text_col, n)
+    # shingle arrays only for docs that appear in some candidate pair
+    cand_docs = (
+        cand.select(F.col("a").alias("id"))
+        .unionByName(cand.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    arrs = (
+        sh.join(cand_docs, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_set("shingle").alias("shs"))
+    )
+    aa = arrs.select(F.col("id").alias("a"), F.col("shs").alias("sha_"))
+    bb = arrs.select(F.col("id").alias("b"), F.col("shs").alias("shb_"))
+    inter = F.size(F.array_intersect("sha_", "shb_"))
+    uni = F.size("sha_") + F.size("shb_") - inter
+    return (
+        cand.join(aa, "a")
+        .join(bb, "b")
+        .select("a", "b", F.round(inter / uni, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 48
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = 48, hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash over word tokens: bit j set iff Σ_tokens sign_j ≥ 0, where
-    sign_j = +1 if bit j of xxhash64(token) set else −1. (id, simhash).
-    bits ≤ 62 so the packed value stays a positive long under ANSI mode."""
+    sign_j = +1 if bit j of hash(token) set else −1. (id, simhash).
+    bits ≤ 62 so the packed value stays a positive long under ANSI mode.
+
+    ``hash``: 'xxhash64' (production) or 'md5' (portable — bit j comes from
+    hex digit j//4 of md5(token), replicable in the DuckDB oracle; md5 is
+    still a JVM builtin, just slower than xxhash64). md5 caps bits at 128.
+    """
     if bits > 62:
         raise ValueError("bits must be ≤ 62")
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
     )
-    h = tok.select("id", F.xxhash64("t").alias("h"))
-    cols = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(bits)
-    ]
-    agg = h.groupBy("id").agg(*cols)
+    if hash == "xxhash64":
+        h = tok.select("id", F.xxhash64("t").alias("h"))
+        bit = lambda j: F.when(  # noqa: E731
+            F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1
+        ).otherwise(0)
+    elif hash == "md5":
+        hexdigits = "0123456789abcdef"
+        n_digits = (bits + 3) // 4
+        digits = [
+            (F.instr(F.lit(hexdigits), F.substring(F.md5("t"), k + 1, 1)) - 1)
+            for k in range(n_digits)
+        ]
+        h = tok.select("id", *[d.alias(f"d{k}") for k, d in enumerate(digits)])
+        bit = lambda j: F.shiftright(F.col(f"d{j // 4}"), j % 4).bitwiseAND(  # noqa: E731
+            F.lit(1)
+        )
+    else:
+        raise ValueError(f"unknown hash {hash!r}")
+    # per-bit balance as 0/1 sums vs token count: sign_j ≥ 0 ⇔ 2·Σbit_j ≥ n
+    agg = h.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(bit(j)).alias(f"b{j}") for j in range(bits)],
+    )
     acc = F.lit(0).cast("long")
     for j in range(bits):
-        acc = acc + F.when(F.col(f"b{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        acc = acc + F.when(
+            2 * F.col(f"b{j}") >= F.col("n"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return agg.select("id", acc.alias("simhash"))
+
+
+def simhash_pairs(
+    sig: DataFrame, bits: int = 48, bands: int = 8, max_hamming: int = 7,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Near-dup pairs from simhash signatures via Hamming-band LSH:
+    ``(a, b, hamming ≤ max_hamming)``, a < b.
+
+    The signature is split into ``bands`` contiguous bit-bands; docs sharing
+    any band value become candidates, then the exact Hamming distance filters.
+    Pigeonhole guarantee: any pair with hamming < bands differs in at most
+    bands−1 bands, so at least one band matches — for ``max_hamming < bands``
+    the result EXACTLY equals the all-pairs O(n²) sweep, at bucket-join cost.
+
+    ``max_bucket_size`` drops degenerate buckets (e.g. a constant corpus
+    collapsing into one band value) before the within-bucket join can go
+    quadratic; dropped buckets are near-identical docs that exact dedup
+    (sha256 groupBy) should have removed first.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > {max_hamming} bands for the "
+            "pigeonhole completeness guarantee"
+        )
+    if bits % bands != 0:
+        raise ValueError("bands must divide bits")
+    r = bits // bands
+    mask = (1 << r) - 1
+    bk = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * r)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.bucket")
+    sizes = bk.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    bk = bk.join(
+        F.broadcast(sizes.filter(F.col("bsz") > max_bucket_size)),
+        ["band", "bucket"],
+        "left_anti",
+    )
+    lhs = bk.select("band", "bucket", F.col("id").alias("a"), F.col("simhash").alias("sa"))
+    rhs = bk.select("band", "bucket", F.col("id").alias("b"), F.col("simhash").alias("sb"))
+    cand = (
+        lhs.join(rhs, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
