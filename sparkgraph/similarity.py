@@ -97,6 +97,90 @@ def hyperplane_signature(
     return df.withColumn("sig", sig)
 
 
+def hyperplane_banded_candidates(
+    df: DataFrame, dim: int, n_planes: int = 16, bands: int = 8,
+    seeds: tuple[int, ...] = (7,), id_col: str = "vec_id",
+    vec_col: str = "embedding", max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Candidate pairs ``(a, b)`` (a < b) sharing any hyperplane-signature
+    band under any seed. Per seed: ``n_planes`` bits split into ``bands``
+    contiguous bands of r = n_planes/bands bits; P(candidate at cosine s) =
+    1 − (1 − p^r)^bands per seed with p = 1 − arccos(s)/π, and misses multiply
+    across seeds — add seeds to push recall toward 1 for low thresholds.
+
+    ``max_bucket_size`` drops degenerate buckets (near-constant corpora)
+    before the within-bucket join can go quadratic.
+    """
+    if n_planes % bands != 0:
+        raise ValueError("bands must divide n_planes")
+    r = n_planes // bands
+    mask = (1 << r) - 1
+    keyed = None
+    for seed in seeds:
+        signed = hyperplane_signature(df, dim, n_planes, seed, vec_col)
+        k = signed.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(seed).alias("seed"),
+                            F.lit(b).alias("band"),
+                            F.shiftright("sig", b * r)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("id", "bb.seed", "bb.band", "bb.bucket")
+        keyed = k if keyed is None else keyed.unionByName(k)
+    sizes = keyed.groupBy("seed", "band", "bucket").agg(
+        F.count(F.lit(1)).alias("bsz")
+    )
+    keyed = keyed.join(
+        F.broadcast(sizes.filter(F.col("bsz") > max_bucket_size)),
+        ["seed", "band", "bucket"],
+        "left_anti",
+    )
+    lhs = keyed.select("seed", "band", "bucket", F.col("id").alias("a"))
+    rhs = keyed.select("seed", "band", "bucket", F.col("id").alias("b"))
+    return (
+        lhs.join(rhs, ["seed", "band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame, threshold: float = 0.95, n_planes: int = 16,
+    bands: int = 8, seeds: tuple[int, ...] = (7, 1009, 2603),
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Scale path for ``embedding_near_dup_pairs``: banded hyperplane-LSH
+    candidate generation, then EXACT cosine verification of candidates only —
+    ``(a, b, cosine ≥ threshold)``. Identical output to the all-pairs form
+    whenever LSH recall is 1.0 (false positives are always filtered exactly);
+    cost is Σ bucket² instead of n²."""
+    dim = df.select(F.size(vec_col)).first()[0]
+    cand = hyperplane_banded_candidates(
+        df, dim, n_planes, bands, seeds, id_col, vec_col, max_bucket_size
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    va = df.select(F.col(id_col).alias("a"), v.alias("va"))
+    vb = df.select(F.col(id_col).alias("b"), v.alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_bucketed_topk(
     df: DataFrame, query: list[float], k: int = 10, n_planes: int = 12,
     seed: int = 7, id_col: str = "vec_id", vec_col: str = "embedding",

@@ -110,3 +110,32 @@ def test_lsh_bucketed_topk_finds_the_near_neighbor(vectors):
     ids = [r.vec_id for r in got]
     assert ids[0] == 0  # the query itself shares its own bucket
     assert 3 in ids  # the planted near neighbor lands within hamming-1
+
+
+def test_embedding_neardup_lsh_equals_all_pairs(vectors):
+    from sparkgraph.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    df, _ = vectors
+    got = {
+        (r.a, r.b): r.cosine
+        for r in embedding_near_dup_pairs_lsh(df, threshold=0.5).collect()
+    }
+    want = {
+        (r.a, r.b): r.cosine
+        for r in embedding_near_dup_pairs(df, threshold=0.5).collect()
+    }
+    assert got == want
+    assert (0, 3) in got and got[(0, 3)] > 0.99  # the planted near neighbor
+
+
+def test_embedding_neardup_lsh_plan_has_no_cartesian(vectors):
+    from sparkgraph.similarity import embedding_near_dup_pairs_lsh
+
+    df, _ = vectors
+    plan = embedding_near_dup_pairs_lsh(df, threshold=0.5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
