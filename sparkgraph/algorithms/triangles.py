@@ -48,8 +48,10 @@ def triangle_count(graph: Graph, strategy: str = "auto") -> int:
     """Physical strategies (same exact count):
 
     * 'bitset'    — broadcast the oriented adjacency as a packed bit matrix
-      and popcount row-AND per edge in a vectorized Arrow kernel. The right
-      plan for DENSE vertex sets (n ≤ ~16k: matrix ≤ 32 MB); turns the 10⁸
+      and popcount row-AND per edge in a vectorized Arrow kernel. The matrix
+      is built DISTRIBUTIVELY: per-partition partial matrices on executors,
+      tree-OR merged, so the driver never sees an edge row. The right plan
+      for DENSE vertex sets (n ≤ ~16k: matrix ≤ 32 MB); turns the 10⁸
       wedge explosion of a near-complete graph into a few hundred MB of
       bitwise ops.
     * 'intersect' — per-edge sorted-adjacency intersection; never shuffles
@@ -94,17 +96,49 @@ def _triangle_count_bitset(graph: Graph) -> int:
     import pyarrow as pa
 
     o = oriented_edges(graph).persist()
-    pdf = o.toPandas()
-    a_all = pdf["a"].to_numpy()
-    b_all = pdf["b"].to_numpy()
-    ids = np.unique(np.concatenate([a_all, b_all]))
+    # vertex universe: n ≤ 16k ids — the only per-row data the driver sees
+    ids = np.sort(
+        np.array(
+            [
+                r[0]
+                for r in o.select(F.explode(F.array("a", "b")).alias("id"))
+                .distinct()
+                .collect()
+            ],
+            dtype=np.int64,
+        )
+    )
     n = len(ids)
     width = (n + 7) // 8
-    # packed oriented-adjacency bit matrix (n ≤ 16k ⇒ ≤ 32 MB), broadcast
-    mat = np.zeros((n, width), dtype=np.uint8)
-    ai = np.searchsorted(ids, a_all)
-    bi = np.searchsorted(ids, b_all)
-    np.bitwise_or.at(mat, (ai, bi >> 3), (1 << (bi & 7)).astype(np.uint8))
+
+    def partial_matrix(batches):
+        # per-partition packed oriented-adjacency bits (n ≤ 16k ⇒ ≤ 32 MB);
+        # edges never leave the executors — only OR-merged matrices do
+        m = np.zeros((n, width), dtype=np.uint8)
+        for b in batches:
+            ai = np.searchsorted(ids, b.column("a").to_numpy(zero_copy_only=False))
+            bi = np.searchsorted(ids, b.column("b").to_numpy(zero_copy_only=False))
+            np.bitwise_or.at(m, (ai, bi >> 3), (1 << (bi & 7)).astype(np.uint8))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([m.tobytes()], type=pa.large_binary())], names=["m"]
+        )
+
+    def or_merge(batches):
+        acc = np.zeros(n * width, dtype=np.uint8)
+        for b in batches:
+            for blob in b.column("m"):
+                np.bitwise_or(
+                    acc, np.frombuffer(blob.as_py(), dtype=np.uint8), out=acc
+                )
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([acc.tobytes()], type=pa.large_binary())], names=["m"]
+        )
+
+    # build distributively (one partial matrix per partition, in parallel),
+    # OR-merge executor-side; the driver receives exactly one packed matrix
+    blobs = o.mapInArrow(partial_matrix, "m binary")
+    merged = blobs.repartition(1).mapInArrow(or_merge, "m binary").collect()
+    mat = np.frombuffer(merged[0].m, dtype=np.uint8).reshape(n, width)
     bc = graph.spark.sparkContext.broadcast((ids, mat))
     popcnt = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
 
