@@ -15,14 +15,20 @@ superstep as a single ``mapInArrow`` pass that:
      (map-side combine — the reference's per-VM combiner, worker.go:269-284),
   4. emits only the touched (dst_idx, partial_sum) pairs.
 
-The driver sums partials per dst (one small Arrow collect), applies the damped
-update on the dense vector, and rebroadcasts. One Spark stage per superstep —
-~4× less scheduling than the relational loop — and the inner loop is C-speed.
+The partials reach the driver as per-partition PACKED BLOBS (one binary row
+per partition: int64 idx array + float64 value array), never as per-vertex
+Arrow rows — the driver merges ≤ `parts` blobs with ``np.add.at`` /
+``np.minimum.at``, applies the damped update on the dense vector, and
+rebroadcasts. In ``combine="shuffle"`` mode the per-dst sum itself stays
+distributed (groupBy before packing), so the driver's work is a single
+assignment scatter over ≤ V unique indices.
 
-Scale envelope: the broadcast value vector is 8 bytes/vertex — fine to ~10⁸
-vertices per executor; beyond that the relational engine
-(sparkgraph.algorithms.pagerank) is the path, which never materializes a
-dense vector. Both produce identical results (tested to 1e-12).
+Scale envelope: this kernel materializes the dense state vector on the driver
+and broadcasts it each superstep — the deliberate FAST PATH for graphs up to
+~10⁷–10⁸ vertices (80 MB–800 MB vector; the constructor raises beyond the
+configurable bound). The relational engine (sparkgraph.algorithms.pagerank)
+is the 100 TB path: state never leaves the cluster. Both produce identical
+results (tested to 1e-12).
 """
 
 from __future__ import annotations
@@ -66,6 +72,43 @@ def _pack_partitions(edges_sym, ids: np.ndarray):
     return edges_sym.select("src", "dst", "weight").mapInArrow(
         pack_rows, "src_idx binary, dst_idx binary, w binary"
     )
+
+
+_BLOB_SCHEMA = "idx_b binary, val_b binary"
+
+
+def _blob_batch(idx: np.ndarray, vals: np.ndarray):
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([idx.astype(np.int64).tobytes()], type=pa.large_binary()),
+            pa.array([vals.astype(np.float64).tobytes()], type=pa.large_binary()),
+        ],
+        names=["idx_b", "val_b"],
+    )
+
+
+def _pack_partials(partials):
+    """(idx long, partial double) rows → one (idx_b, val_b) blob row per
+    partition, so the driver collects O(parts) rows instead of O(V)."""
+
+    def pack(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        idxs, vals = [], []
+        for b in batches:
+            idxs.append(b.column("idx").to_numpy(zero_copy_only=False))
+            vals.append(b.column("partial").to_numpy(zero_copy_only=False))
+        if idxs:
+            yield _blob_batch(np.concatenate(idxs), np.concatenate(vals))
+
+    return partials.mapInArrow(pack, _BLOB_SCHEMA)
+
+
+def _merge_blobs(rows, out: np.ndarray, op) -> None:
+    """Driver-side merge of collected blob rows into the dense vector with
+    ``op`` (np.add / np.minimum) applied element-wise at the packed indices."""
+    for r in rows:
+        idx = np.frombuffer(r.idx_b, dtype=np.int64)
+        vals = np.frombuffer(r.val_b, dtype=np.float64)
+        op.at(out, idx, vals)
 
 
 class PackedGraph:
@@ -159,15 +202,29 @@ def pagerank_csr(
                     names=["idx", "partial"],
                 )
 
-        partials = packed.mapInArrow(scatter_gather, "idx long, partial double")
+        def scatter_gather_blob(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            contrib = bc.value
+            for b in batches:
+                src_idx = np.frombuffer(b.column("src_idx")[0].as_py(), dtype=np.int64)
+                dst_idx = np.frombuffer(b.column("dst_idx")[0].as_py(), dtype=np.int64)
+                sums = np.bincount(dst_idx, weights=contrib[src_idx], minlength=0)
+                touched = np.nonzero(sums)[0]
+                yield _blob_batch(touched, sums[touched])
+
         if combine == "shuffle":
-            partials = partials.groupBy("idx").agg(F.sum("partial").alias("partial"))
-        agg = partials.toPandas()
+            # distributed per-dst combine; the driver sees ≤ V unique idx,
+            # packed into one blob row per post-shuffle partition
+            partials = packed.mapInArrow(
+                scatter_gather, "idx long, partial double"
+            ).groupBy("idx").agg(F.sum("partial").alias("partial"))
+            rows = _pack_partials(partials).collect()
+        else:
+            # one blob row per edge partition; driver add-merges ≤ parts blobs
+            rows = packed.mapInArrow(scatter_gather_blob, _BLOB_SCHEMA).collect()
         bc.destroy()
-        new_x = np.full(n, teleport)
-        np.add.at(
-            new_x, agg["idx"].to_numpy(), damping * agg["partial"].to_numpy()
-        )
+        gathered = np.zeros(n)
+        _merge_blobs(rows, gathered, np.add)
+        new_x = teleport + damping * gathered
         delta = float(np.max(np.abs(new_x - x)))
         x = new_x
         step += 1
@@ -199,8 +256,9 @@ def _frontier_min_loop(graph: Graph, init: np.ndarray, plus_weight: bool,
     """Shared frontier min-combiner kernel (SSSP: msg = val+w; CC: msg = val).
     Per superstep one mapInArrow pass scatters from frontier sources only and
     min-combines per destination inside the partition (np.minimum.at — the
-    map-side combiner); the driver merges partials and computes the next
-    frontier mask."""
+    map-side combiner); the driver min-merges ≤ parts packed blob rows
+    (frontier-bounded volume, never per-vertex Arrow rows) and computes the
+    next frontier mask."""
     import pandas as pd
 
     spark = graph.spark
@@ -233,18 +291,12 @@ def _frontier_min_loop(graph: Graph, init: np.ndarray, plus_weight: bool,
                 mins = np.full(int(d.max()) + 1, np.inf)
                 np.minimum.at(mins, d, msg)
                 touched = np.nonzero(np.isfinite(mins))[0]
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(touched, type=pa.int64()),
-                     pa.array(mins[touched], type=pa.float64())],
-                    names=["idx", "partial"],
-                )
+                yield _blob_batch(touched, mins[touched])
 
-        agg = pg.packed.mapInArrow(scatter_min, "idx long, partial double").toPandas()
+        rows = pg.packed.mapInArrow(scatter_min, _BLOB_SCHEMA).collect()
         bc.destroy()
         new_val = val.copy()
-        if len(agg):
-            idx = agg["idx"].to_numpy()
-            np.minimum.at(new_val, idx, agg["partial"].to_numpy())
+        _merge_blobs(rows, new_val, np.minimum)
         frontier = new_val < val
         val = new_val
         step += 1
