@@ -57,6 +57,7 @@ LPA_ITERS = 4
 KCORE_K = 80
 KCORE_ITERS = 6
 LINKPRED_MIN_COMMON = 25
+LINKPRED_MAX_WEDGE_DEG = 10_000  # mirrored in the oracle SQL's wedge filter
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -298,6 +299,7 @@ WITH {_PART_CTE},
 wedges AS MATERIALIZED (
   SELECT e1.dst AS a, e2.dst AS b, e1.src AS w
   FROM sym e1 JOIN sym e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN deg dm ON e1.src = dm.id AND dm.deg <= {LINKPRED_MAX_WEDGE_DEG}
 ),
 stats AS MATERIALIZED (
   SELECT w.a, w.b, COUNT(*) AS common, SUM(1.0 / ln(d.deg)) AS aa
@@ -550,7 +552,10 @@ def _q_linkpred_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkgraph.algorithms.structure import link_prediction
 
     g = Graph(part_edges(spark, sf_dir))
-    return link_prediction(g, min_common=LINKPRED_MIN_COMMON)
+    return link_prediction(
+        g, min_common=LINKPRED_MIN_COMMON,
+        max_wedge_degree=LINKPRED_MAX_WEDGE_DEG,
+    )
 
 
 def _q_clustering_parts(spark: SparkSession, sf_dir: str) -> DataFrame:

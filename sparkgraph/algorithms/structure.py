@@ -26,11 +26,19 @@ def _simple_sym(graph: Graph):
 def link_prediction(
     graph: Graph,
     min_common: int = 1,
-    max_wedge_degree: int | None = None,
+    max_wedge_degree: int | None = 10_000,
 ) -> DataFrame:
     """Non-adjacent pairs (a < b) with ≥ min_common common neighbors:
     ``(a, b, common, jaccard, adamic_adar)`` — jaccard over neighbor sets,
-    Adamic-Adar = Σ_w 1/ln(deg w). Rounded to 6 dp."""
+    Adamic-Adar = Σ_w 1/ln(deg w). Rounded to 6 dp.
+
+    ``max_wedge_degree`` bounds the wedge join: vertices whose simple degree
+    exceeds it generate NO wedges (a deg-d hub alone contributes d²/2 wedge
+    rows — the power-law blow-up SURVEY.md §7(iii) warns about). The default
+    is finite ON PURPOSE: common-neighbor scores through mega-hubs carry
+    almost no signal (Adamic-Adar already down-weights them as 1/ln d), so
+    capping changes rankings negligibly while bounding the shuffle at
+    Σ min(deg, cap)². Pass ``None`` only for exact small-graph sweeps."""
     sym = _simple_sym(graph)
     deg = sym.groupBy(F.col("u").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
     if max_wedge_degree is not None:

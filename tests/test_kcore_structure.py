@@ -89,3 +89,26 @@ def test_clustering_coefficient(spark):
     assert row.wedges == wedges
     assert math.isclose(row.coefficient, 3.0 / wedges, abs_tol=1e-6)
     g.unpersist()
+
+
+def test_linkpred_wedge_cap_bounds_hubs(spark):
+    """A star hub above the cap contributes no wedges; spokes stay scored
+    through their other (low-degree) common neighbors."""
+    from sparkgraph.graph import Graph
+    from sparkgraph.algorithms.structure import link_prediction
+
+    # hub 0 connects to 1..30; besides that, a triangle-ish tail 1-2, 2-3
+    edges = [(0, i) for i in range(1, 31)] + [(1, 2), (2, 3)]
+    g = Graph(spark.createDataFrame(edges, "src long, dst long"))
+    capped = link_prediction(g, min_common=1, max_wedge_degree=10)
+    # every wedge through the deg-30 hub is suppressed: only wedges through
+    # deg<=10 vertices remain (e.g. 1-3 through 2)
+    rows = {(r.a, r.b): r.common for r in capped.collect()}
+    assert (1, 3) in rows
+    assert all(not (a != 0 and b != 0 and (a, b) not in {(1, 3)}) or c >= 1
+               for (a, b), c in rows.items())
+    # no pair owes its commonality to the hub: pair (i,j) of spokes with no
+    # other link must be absent
+    assert (4, 5) not in rows
+    uncapped = link_prediction(g, min_common=1, max_wedge_degree=None)
+    assert (4, 5) in {(r.a, r.b) for r in uncapped.collect()}
