@@ -1,0 +1,82 @@
+"""Contract test for TableIO's Iceberg-catalog branch (operators B1–B3's
+catalog path, io/tables.py). No Iceberg runtime jar ships in this sandbox, so
+the test pins the CONTRACT — which DataFrameWriterV2 / catalog calls fire
+with which identifiers — against fakes; the parquet fallback branch is
+integration-tested in test_tables_weighted.py."""
+
+from unittest import mock
+
+import pytest
+
+from sparkgraph.io.tables import TableIO
+
+
+class _FakeWriterV2:
+    def __init__(self, log):
+        self.log = log
+
+    def createOrReplace(self):
+        self.log.append(("createOrReplace",))
+
+
+class _FakeDF:
+    def __init__(self, log):
+        self.log = log
+
+    def writeTo(self, ident):
+        self.log.append(("writeTo", ident))
+        return _FakeWriterV2(self.log)
+
+
+class _FakeReader:
+    def __init__(self, log):
+        self.log = log
+
+    def table(self, ident):
+        self.log.append(("read.table", ident))
+        return mock.sentinel.table_df
+
+
+class _FakeSpark:
+    def __init__(self, log):
+        self.log = log
+        self.read = _FakeReader(log)
+
+    def sql(self, stmt):
+        self.log.append(("sql", stmt))
+
+
+@pytest.fixture()
+def io_and_log(tmp_path):
+    log = []
+    io = TableIO(_FakeSpark(log), str(tmp_path), catalog="ice.db")
+    return io, log
+
+
+def test_catalog_save_uses_writer_v2(io_and_log):
+    io, log = io_and_log
+    version = io.save(_FakeDF(log), "edges")
+    assert version == -1  # catalog manages snapshots, not the v= layout
+    assert log == [("writeTo", "ice.db.edges"), ("createOrReplace",)]
+
+
+def test_catalog_load_reads_table(io_and_log):
+    io, log = io_and_log
+    df = io.load("edges")
+    assert df is mock.sentinel.table_df
+    assert log == [("read.table", "ice.db.edges")]
+
+
+def test_catalog_drop_issues_drop_table(io_and_log):
+    io, log = io_and_log
+    io.drop("edges")
+    assert log == [("sql", "DROP TABLE IF EXISTS ice.db.edges")]
+
+
+def test_catalog_branch_never_touches_local_layout(io_and_log, tmp_path):
+    import os
+
+    io, log = io_and_log
+    io.save(_FakeDF(log), "edges")
+    io.drop("edges")
+    assert os.listdir(tmp_path) == []  # no v=/_latest fallback artifacts
