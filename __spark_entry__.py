@@ -361,6 +361,30 @@ SELECT t AS triangles, w AS wedges, ROUND(3.0 * t / w, 6) AS coefficient
 FROM tri, wed"""
 
 
+# deterministic directed graph for SCC: the affine map x → 49x+11 (mod 500)
+# restricted to observed partkeys < 500. On the full residue ring this is a
+# permutation (45 disjoint cycles: 25 of size 4, 20 of size 20 — so the
+# Pregel coloring needs ≤ 20 supersteps); sparse scale factors break some
+# cycles into tails — both regimes exercised by one derivation.
+SCC_MOD = 500
+SCC_MUL = 49
+SCC_ADD = 11
+
+_SCC_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT l_partkey AS src, (l_partkey*{SCC_MUL}+{SCC_ADD})%{SCC_MOD} AS dst
+  FROM lineitem WHERE l_partkey < {SCC_MOD}
+),
+reach(s, d) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN edges e ON r.d = e.src
+),
+mutual AS (SELECT a.s AS u, a.d AS v FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s),
+verts AS (SELECT DISTINCT src AS id FROM (SELECT src FROM edges UNION SELECT dst FROM edges) t(src))
+SELECT v.id, LEAST(v.id, COALESCE(MIN(m.v), v.id)) AS scc
+FROM verts v LEFT JOIN mutual m ON v.id = m.u GROUP BY v.id"""
+
 _TRIANGLES_SQL = (
     "WITH " + _SUPP_CTE + """
 SELECT COUNT(*) AS triangles
@@ -602,6 +626,17 @@ def _q_clustering_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_clustering_coefficient(g)
 
 
+def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.algorithms.scc import strongly_connected_components
+
+    l = _read(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < SCC_MOD)
+    edges = l.select(
+        F.col("l_partkey").alias("src"),
+        ((F.col("l_partkey") * SCC_MUL + SCC_ADD) % SCC_MOD).alias("dst"),
+    ).distinct()
+    return strongly_connected_components(edges).state
+
+
 def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count_df(Graph(supplier_edges(spark, sf_dir)))
 
@@ -739,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_csr_bipartite": _q_sssp_csr,
         "cc_csr_bipartite": _q_cc_csr,
         "triangles_suppliers": _q_triangles,
+        "scc_parts_affine": _q_scc,
         "kcore_parts": _q_kcore_parts,
         "linkpred_parts": _q_linkpred_parts,
         "clustering_parts": _q_clustering_parts,
@@ -779,6 +815,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp_csr_bipartite": _sssp_sql(SSSP_ITERS, SSSP_SOURCE),
         "cc_csr_bipartite": _cc_sql(CC_ITERS, _BIP_CTE),
         "triangles_suppliers": _TRIANGLES_SQL,
+        "scc_parts_affine": _SCC_SQL,
         "kcore_parts": _kcore_sql(KCORE_K, KCORE_ITERS),
         "linkpred_parts": _LINKPRED_PARTS_SQL,
         "clustering_parts": _CLUSTERING_PARTS_SQL,

@@ -5,7 +5,8 @@ the new engine's extras, shippable via spark-submit:
     spark-submit --py-files sparkgraph.zip -m sparkgraph.cli ...   # cluster
     python -m sparkgraph.cli pagerank --input edges.txt            # local
 
-Subcommands: pagerank | sssp | cc | lpa | triangles | ingest.
+Subcommands: pagerank | sssp | cc | scc | lpa | triangles | hits | kcore |
+ingest.
 Input: an edge-list text file (reference format), a parquet edge table
 (src,dst[,weight]), or — for ``ingest`` — a sources table
 (repo,path,commit,lang,content) from which the code graph is derived.
@@ -57,6 +58,7 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--kernel", choices=["relational", "csr"], default="relational")
     common(sub.add_parser("sssp"), source=True)
     common(sub.add_parser("cc"))
+    common(sub.add_parser("scc"))
     lp = sub.add_parser("lpa")
     common(lp)
     lp.add_argument("--max-iter", type=int, default=10)
@@ -128,6 +130,10 @@ def main(argv: list[str] | None = None) -> int:
             from sparkgraph.algorithms import connected_components
             res = connected_components(g, checkpointer=ck, resume=args.resume)
             out = res.state.withColumnRenamed("component", "value")
+        elif args.cmd == "scc":
+            from sparkgraph.algorithms.scc import strongly_connected_components
+            res = strongly_connected_components(g.edges.select("src", "dst"))
+            out = res.state.withColumnRenamed("scc", "value")
         elif args.cmd == "lpa":
             from sparkgraph.algorithms import label_propagation
             res = label_propagation(g, max_iter=args.max_iter, checkpointer=ck,
