@@ -501,6 +501,18 @@ SELECT e.vec_id,
        AS cosine
 FROM embeddings e"""
 
+IVF_LISTS = 16
+IVF_NPROBE = 8  # exact top-10 needs 6 lists on this corpus; 8 adds margin
+IVF_TOPK = 10
+
+_IVF_TOPK_SQL = f"""
+SELECT e.vec_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6)
+       AS cosine
+FROM embeddings e
+ORDER BY cosine DESC, e.vec_id ASC LIMIT {IVF_TOPK}"""
+
 
 # ---------------------------------------------------------------------------
 # Spark-side queries
@@ -692,6 +704,19 @@ def _q_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_cosine(emb, q).select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF ANN (deterministic k-means quantizer, nprobe inverted lists,
+    # exact cosine within) gated against the brute-force top-k oracle:
+    # identical output whenever the probed lists cover the true top-k
+    # (verified at sf0.001/sf0.01 — random embeddings are the hard case)
+    from sparkgraph.similarity import ivf_topk, ivf_train
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    cents = ivf_train(emb, k=IVF_LISTS, iters=3)
+    return ivf_topk(emb, q, cents, k=IVF_TOPK, nprobe=IVF_NPROBE)
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SCALE path: banded hyperplane-LSH candidates + exact-cosine verify,
     # gated against the all-pairs O(n²) oracle — identical when recall is 1.0
@@ -790,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_documents": _q_langid,
         "ngram_jaccard_documents": _q_jaccard,
         "cosine_embeddings": _q_cosine,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
         "events_windowed": _q_events_windowed,
         "fingerprint_documents": _q_fingerprint,
@@ -855,6 +881,7 @@ FROM t""",
         "langid_documents": _LANGID_SQL,
         "ngram_jaccard_documents": _JACCARD_SQL,
         "cosine_embeddings": _COSINE_SQL,
+        "ann_ivf_topk": _IVF_TOPK_SQL,
         "embedding_neardup": """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
 SELECT a.vec_id AS a, b.vec_id AS b,

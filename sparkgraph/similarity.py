@@ -181,6 +181,89 @@ def embedding_near_dup_pairs_lsh(
     )
 
 
+def ivf_assign(
+    df: DataFrame, centroids, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds ``cluster`` = argmax cosine against the (small, broadcast-by-
+    closure) centroid matrix. Vectorized Arrow kernel: one matmul per batch,
+    no per-row Python."""
+    import numpy as np
+    import pandas as pd
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+            sims = v @ cents.T
+            # deterministic tie-break: lowest cluster index wins
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cluster": sims.argmax(axis=1).astype("int32")}
+            )
+
+    out_schema = f"{id_col} long, cluster int"
+    return df.select(id_col, vec_col).mapInPandas(assign, out_schema).join(
+        df, id_col
+    )
+
+
+def ivf_train(
+    df: DataFrame, k: int = 16, iters: int = 3, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: k-means on the unit sphere, seeded
+    from the k lowest-id vectors, a FIXED number of Lloyd iterations, and
+    centroids rounded to 6 dp per iteration (absorbs shuffle-order float
+    noise so assignments are reproducible). Only k×dim floats ever reach the
+    driver — assignment and the per-cluster mean stay distributed."""
+    from pyspark.sql import functions as F
+
+    seeds = (
+        df.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    centroids = [[round(float(x), 6) for x in r[0]] for r in seeds]
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, id_col, vec_col)
+        means = (
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col).cast("array<double>"))
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
+            .select("cluster", F.col("ms.m").alias("centroid"))
+            .collect()
+        )
+        new = {r.cluster: [round(float(x), 6) for x in r.centroid] for r in means}
+        centroids = [new.get(c, centroids[c]) for c in range(k)]
+    return centroids
+
+
+def ivf_topk(
+    df: DataFrame, query: list[float], centroids, k: int = 10, nprobe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: rank centroids by cosine to the query, scan only the
+    ``nprobe`` nearest inverted lists, exact-cosine top-k within them.
+    Cost ≈ (nprobe/k_lists)·corpus instead of the full brute-force scan;
+    recall rises with nprobe (nprobe = #lists ≡ exact)."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    q = np.asarray(query, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    probe = np.argsort(-(cents @ q), kind="stable")[:nprobe].tolist()
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    bucket = assigned.filter(F.col("cluster").isin([int(p) for p in probe]))
+    return cosine_topk(bucket, query, k, id_col, vec_col)
+
+
 def lsh_bucketed_topk(
     df: DataFrame, query: list[float], k: int = 10, n_planes: int = 12,
     seed: int = 7, id_col: str = "vec_id", vec_col: str = "embedding",

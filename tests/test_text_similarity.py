@@ -139,3 +139,33 @@ def test_embedding_neardup_lsh_plan_has_no_cartesian(vectors):
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_topk_matches_brute_force(vectors):
+    from sparkgraph.similarity import ivf_topk, ivf_train
+
+    df, vecs = vectors
+    q = [float(x) for x in vecs[0]]
+    cents = ivf_train(df, k=8, iters=2)
+    assert len(cents) == 8 and all(len(c) == 16 for c in cents)
+    brute = [(r.vec_id, r.cosine) for r in cosine_topk(df, q, k=5).collect()]
+    exact_all = [
+        (r.vec_id, r.cosine)
+        for r in ivf_topk(df, q, cents, k=5, nprobe=8).collect()
+    ]
+    assert exact_all == brute  # nprobe = #lists degenerates to exact search
+    probed = [
+        (r.vec_id, r.cosine)
+        for r in ivf_topk(df, q, cents, k=5, nprobe=3).collect()
+    ]
+    # the query's own vector and its planted near neighbor share a list with
+    # the query — they must survive any nprobe >= 1
+    ids = [p[0] for p in probed]
+    assert ids[0] == 0 and 3 in ids
+
+
+def test_ivf_train_is_deterministic(vectors):
+    from sparkgraph.similarity import ivf_train
+
+    df, _ = vectors
+    assert ivf_train(df, k=8, iters=2) == ivf_train(df, k=8, iters=2)
