@@ -9,7 +9,11 @@ PageRank throughput — plus the operators that stress shuffle/skew):
   sssp_bipartite         BFS to fixpoint
   cc_bipartite           hash-min to fixpoint
   triangles_suppliers    oriented wedge join
-  dedup_minhash_docs     MinHash-LSH banded near-dup pairs on documents
+  dedup_minhash_docs     MinHash-LSH near-dup: banded candidates + exact
+                         Jaccard verify (the gated scale path; r1 measured
+                         the estimate-only variant — slightly lighter)
+  simhash_pairs_docs     Hamming-banded SimHash near-dup pairs
+  neardup_lsh_embed      banded hyperplane-LSH + exact-cosine verify
 """
 
 from __future__ import annotations
@@ -26,7 +30,7 @@ from sparkgraph.graph import Graph
 from sparkgraph.algorithms import pagerank, sssp, connected_components
 from sparkgraph.algorithms.triangles import triangle_count
 from sparkgraph.io.synth import powerlaw_edges
-from sparkgraph.text import minhash_lsh_pairs
+from sparkgraph.text import minhash_lsh_neardup_pairs, simhash, simhash_pairs
 import __spark_entry__ as entrymod
 
 POWERLAW_EDGES = int(os.environ.get("BENCH_POWERLAW_EDGES", 2_000_000))
@@ -78,7 +82,13 @@ def main() -> None:
     g_sup = Graph(entrymod.supplier_edges(spark, sf_dir))
     timed("triangles_suppliers", lambda: triangle_count(g_sup))
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    timed("dedup_minhash_docs", lambda: minhash_lsh_pairs(docs, threshold=0.5).count())
+    timed("dedup_minhash_docs", lambda: minhash_lsh_neardup_pairs(docs, threshold=0.5).count())
+    timed("simhash_pairs_docs", lambda: simhash_pairs(simhash(docs)).count())
+
+    from sparkgraph.similarity import embedding_near_dup_pairs_lsh
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    timed("neardup_lsh_embed", lambda: embedding_near_dup_pairs_lsh(emb, threshold=0.4).count())
 
     total = round(sum(timings.values()), 3)
     print(

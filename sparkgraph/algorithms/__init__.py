@@ -3,3 +3,4 @@ from sparkgraph.algorithms.sssp import sssp  # noqa: F401
 from sparkgraph.algorithms.components import connected_components  # noqa: F401
 from sparkgraph.algorithms.lpa import label_propagation  # noqa: F401
 from sparkgraph.algorithms.triangles import triangle_count  # noqa: F401
+from sparkgraph.algorithms.scc import strongly_connected_components  # noqa: F401
