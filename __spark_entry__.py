@@ -229,6 +229,35 @@ def _sssp_sql(iters: int, source: int) -> str:
     )
 
 
+# weighted SSSP: deterministic symmetric weight w(u,v) = 1 + (u+v) mod 3
+# (same value in both directions, derivable identically in both engines);
+# fixpoint reached in 5 supersteps at sf0.01 — unrolled to 8 for margin
+# (extra unrolled steps are no-ops at the fixpoint in both engines)
+WSSSP_ITERS = 8
+
+
+def _sssp_weighted_sql(iters: int, source: int) -> str:
+    w = "(1 + (sym.src + sym.dst) % 3)"
+    ctes = [
+        f"d0 AS MATERIALIZED (SELECT id, CASE WHEN id = {source} THEN 0 END AS dist FROM verts)"
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT c.id, LEAST(COALESCE(c.dist, m.md), COALESCE(m.md, c.dist)) AS dist
+  FROM d{k-1} c LEFT JOIN (
+    SELECT sym.dst AS id, MIN(p.dist + {w}) AS md
+    FROM sym JOIN d{k-1} p ON sym.src = p.id WHERE p.dist IS NOT NULL
+    GROUP BY sym.dst
+  ) m ON c.id = m.id
+)"""
+        )
+    return (
+        "WITH " + _BIP_CTE + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(dist AS BIGINT) AS dist FROM d{iters} WHERE dist IS NOT NULL"
+    )
+
+
 def _lpa_sql(iters: int, cte: str) -> str:
     ctes = ["l0 AS MATERIALIZED (SELECT id, id AS lbl FROM verts)"]
     for k in range(1, iters + 1):
@@ -551,6 +580,16 @@ def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = bipartite_edges(spark, sf_dir).withColumn(
+        "weight", (1 + (F.col("src") + F.col("dst")) % 3).cast("double")
+    )
+    res = sssp(Graph(edges), source=SSSP_SOURCE)
+    return res.state.filter(F.col("dist") != float("inf")).select(
+        "id", F.col("dist").cast("long").alias("dist")
+    )
+
+
 def _q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = Graph(bipartite_edges(spark, sf_dir))
     return connected_components(g, max_iter=CC_ITERS).state
@@ -791,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_csr_bipartite": _q_pagerank_csr,
         "salted_degrees_bipartite": _q_salted_degrees,
         "sssp_bipartite": _q_sssp,
+        "sssp_weighted_bipartite": _q_sssp_weighted,
         "cc_bipartite": _q_cc,
         "lpa_suppliers": _q_lpa,
         "lpa_bipartite": _q_lpa_bipartite,
@@ -833,6 +873,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_degrees_bipartite": "WITH " + _BIP_CTE
         + "\nSELECT id, CAST(deg AS DOUBLE) AS deg_sum FROM deg",
         "sssp_bipartite": _sssp_sql(SSSP_ITERS, SSSP_SOURCE),
+        "sssp_weighted_bipartite": _sssp_weighted_sql(WSSSP_ITERS, SSSP_SOURCE),
         "cc_bipartite": _cc_sql(CC_ITERS, _BIP_CTE),
         "lpa_suppliers": _lpa_sql(LPA_ITERS, _SUPP_CTE),
         "lpa_bipartite": _lpa_sql(LPA_ITERS, _BIP_CTE),
