@@ -229,6 +229,68 @@ def _sssp_sql(iters: int, source: int) -> str:
     )
 
 
+BETW_PIVOTS = 4
+BETW_DEPTH = 8  # ≥ bipartite BFS depth from the pivots (5 at sf0.01)
+
+
+def _betweenness_sql(k: int, depth: int) -> str:
+    """Unrolled sampled-Brandes: forward BFS levels with path counts, tree
+    edges, backward dependency accumulation — pivots = k smallest ids
+    (matches betweenness_sampled's deterministic default)."""
+    ctes = [
+        f"pv AS MATERIALIZED (SELECT id AS pvt FROM verts ORDER BY id LIMIT {k})",
+        "s0 AS MATERIALIZED (SELECT pvt, pvt AS id, 0 AS depth, 1.0 AS sigma FROM pv)",
+        "l0 AS MATERIALIZED (SELECT * FROM s0)",
+    ]
+    for d in range(1, depth + 1):
+        ctes.append(
+            f"""l{d} AS MATERIALIZED (
+  SELECT l.pvt, sym.dst AS id, {d} AS depth, SUM(l.sigma) AS sigma
+  FROM sym JOIN l{d-1} l ON sym.src = l.id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM s{d-1} s WHERE s.pvt = l.pvt AND s.id = sym.dst)
+  GROUP BY l.pvt, sym.dst
+),
+s{d} AS MATERIALIZED (SELECT * FROM s{d-1} UNION ALL SELECT * FROM l{d})"""
+        )
+    ctes.append(
+        f"""tree AS MATERIALIZED (
+  SELECT su.pvt, sym.src AS u, sym.dst AS v, su.depth AS du,
+         su.sigma AS sigu, sv.sigma AS sigv
+  FROM sym
+  JOIN s{depth} su ON sym.src = su.id
+  JOIN s{depth} sv ON sym.dst = sv.id AND sv.pvt = su.pvt
+  WHERE sv.depth = su.depth + 1
+)""",
+    )
+    ctes.append(
+        f"d{depth} AS MATERIALIZED (SELECT pvt, id, 0.0 AS delta FROM s{depth})"
+    )
+    for d in range(depth - 1, -1, -1):
+        ctes.append(
+            f"""d{d} AS MATERIALIZED (
+  SELECT t.pvt, t.id, t.delta + COALESCE(i.inc, 0) AS delta
+  FROM d{d+1} t LEFT JOIN (
+    SELECT tr.pvt, tr.u AS id, SUM(tr.sigu / tr.sigv * (1 + dl.delta)) AS inc
+    FROM tree tr JOIN d{d+1} dl ON tr.pvt = dl.pvt AND tr.v = dl.id
+    WHERE tr.du = {d}
+    GROUP BY tr.pvt, tr.u) i ON t.pvt = i.pvt AND t.id = i.id
+)"""
+        )
+    return (
+        "WITH " + _BIP_CTE + ",\n" + ",\n".join(ctes)
+        + f"""
+SELECT v.id,
+       ROUND(COALESCE(b.bsum, 0) * (SELECT COUNT(*) FROM verts) / {float(k)} * 0.5
+             / GREATEST(((SELECT COUNT(*) FROM verts) - 1)
+                        * ((SELECT COUNT(*) FROM verts) - 2) / 2.0, 1.0),
+             9) AS betweenness
+FROM verts v LEFT JOIN (
+  SELECT id, SUM(delta) AS bsum FROM d0 WHERE id != pvt GROUP BY id
+) b ON v.id = b.id"""
+    )
+
+
 # weighted SSSP: deterministic symmetric weight w(u,v) = 1 + (u+v) mod 3
 # (same value in both directions, derivable identically in both engines);
 # fixpoint reached in 5 supersteps at sf0.01 — unrolled to 8 for margin
@@ -677,6 +739,14 @@ def _q_clustering_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_clustering_coefficient(g)
 
 
+def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.algorithms.betweenness import betweenness_sampled
+
+    g = Graph(bipartite_edges(spark, sf_dir))
+    res = betweenness_sampled(g, k=BETW_PIVOTS)
+    return res.state.select("id", F.round("betweenness", 9).alias("betweenness"))
+
+
 def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkgraph.algorithms.scc import strongly_connected_components
 
@@ -840,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_csr_bipartite": _q_cc_csr,
         "triangles_suppliers": _q_triangles,
         "scc_parts_affine": _q_scc,
+        "betweenness_bipartite": _q_betweenness,
         "kcore_parts": _q_kcore_parts,
         "linkpred_parts": _q_linkpred_parts,
         "clustering_parts": _q_clustering_parts,
@@ -883,6 +954,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_csr_bipartite": _cc_sql(CC_ITERS, _BIP_CTE),
         "triangles_suppliers": _TRIANGLES_SQL,
         "scc_parts_affine": _SCC_SQL,
+        "betweenness_bipartite": _betweenness_sql(BETW_PIVOTS, BETW_DEPTH),
         "kcore_parts": _kcore_sql(KCORE_K, KCORE_ITERS),
         "linkpred_parts": _LINKPRED_PARTS_SQL,
         "clustering_parts": _CLUSTERING_PARTS_SQL,

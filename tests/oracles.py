@@ -191,3 +191,54 @@ def scc_oracle(pairs: list[tuple[int, int]]) -> dict[int, int]:
         if v not in index:
             strongconnect(v)
     return label
+
+
+def betweenness_oracle(
+    pairs: list[tuple[int, int]],
+    pivots: list[int] | None = None,
+    normalize: bool = True,
+) -> dict[int, float]:
+    """Brandes betweenness on the simple undirected graph; ``pivots`` limits
+    sources (sampled estimator scaled by n/k); endpoints excluded, undirected
+    halving, optional (n-1)(n-2)/2 normalization."""
+    from collections import deque
+
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    verts = sorted(adj)
+    n = len(verts)
+    sources = pivots if pivots is not None else verts
+    bc = {v: 0.0 for v in verts}
+    for s in sources:
+        sigma = {v: 0.0 for v in verts}
+        dist = {v: -1 for v in verts}
+        preds: dict[int, list[int]] = {v: [] for v in verts}
+        sigma[s], dist[s] = 1.0, 0
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {v: 0.0 for v in verts}
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    scale = (n / float(len(sources))) * 0.5
+    out = {v: bc[v] * scale for v in verts}
+    if normalize:
+        denom = max((n - 1) * (n - 2) / 2.0, 1.0)
+        out = {v: x / denom for v, x in out.items()}
+    return out
