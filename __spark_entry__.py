@@ -320,6 +320,31 @@ def _sssp_weighted_sql(iters: int, source: int) -> str:
     )
 
 
+def _pagerank_weighted_sql(iters: int) -> str:
+    """Unrolled weighted reference-mode PageRank: contributions v·w/Σw(out)
+    with the same deterministic symmetric weight as weighted SSSP."""
+    w = "(1 + (sym.src + sym.dst) % 3)"
+    ctes = [
+        f"wdeg AS MATERIALIZED (SELECT sym.src AS id, SUM({w}) AS wd FROM sym GROUP BY sym.src)",
+        "x1 AS MATERIALIZED (SELECT id, (SELECT 0.15 / COUNT(*) FROM verts) AS v FROM verts)",
+    ]
+    for k in range(2, iters + 1):
+        ctes.append(
+            f"""x{k} AS MATERIALIZED (
+  SELECT t.id, (SELECT 0.15 / COUNT(*) FROM verts) + 0.85 * COALESCE(m.s, 0) AS v
+  FROM verts t LEFT JOIN (
+    SELECT sym.dst AS id, SUM(p.v * {w} / wdeg.wd) AS s
+    FROM sym JOIN x{k-1} p ON sym.src = p.id JOIN wdeg ON sym.src = wdeg.id
+    GROUP BY sym.dst
+  ) m ON t.id = m.id
+)"""
+        )
+    return (
+        "WITH " + _BIP_CTE + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(v, 9) AS score FROM x{iters}"
+    )
+
+
 def _lpa_sql(iters: int, cte: str) -> str:
     ctes = ["l0 AS MATERIALIZED (SELECT id, id AS lbl FROM verts)"]
     for k in range(1, iters + 1):
@@ -642,11 +667,20 @@ def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = bipartite_edges(spark, sf_dir).withColumn(
+def _weighted_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bipartite_edges(spark, sf_dir).withColumn(
         "weight", (1 + (F.col("src") + F.col("dst")) % 3).cast("double")
     )
-    res = sssp(Graph(edges), source=SSSP_SOURCE)
+
+
+def _q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = Graph(_weighted_bipartite(spark, sf_dir))
+    res = pagerank(g, mode="reference", iterations=PR_ITERS, weighted=True)
+    return res.state.select("id", F.round("value", 9).alias("score"))
+
+
+def _q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = sssp(Graph(_weighted_bipartite(spark, sf_dir)), source=SSSP_SOURCE)
     return res.state.filter(F.col("dist") != float("inf")).select(
         "id", F.col("dist").cast("long").alias("dist")
     )
@@ -897,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_bipartite": _q_pagerank,
         "pagerank_tol_bipartite": _q_pagerank_tol,
+        "pagerank_weighted_bipartite": _q_pagerank_weighted,
         "pagerank_csr_bipartite": _q_pagerank_csr,
         "salted_degrees_bipartite": _q_salted_degrees,
         "sssp_bipartite": _q_sssp,
@@ -940,6 +975,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_bipartite": _pagerank_sql(PR_ITERS),
         "pagerank_tol_bipartite": _pagerank_conv_sql(PR_TOL_STEPS_SF001),
+        "pagerank_weighted_bipartite": _pagerank_weighted_sql(PR_ITERS),
         "pagerank_csr_bipartite": _pagerank_sql(PR_ITERS),
         "salted_degrees_bipartite": "WITH " + _BIP_CTE
         + "\nSELECT id, CAST(deg AS DOUBLE) AS deg_sum FROM deg",
