@@ -102,12 +102,20 @@ def _pack_partials(partials):
     return partials.mapInArrow(pack, _BLOB_SCHEMA)
 
 
-def _merge_blobs(rows, out: np.ndarray, op) -> None:
-    """Driver-side merge of collected blob rows into the dense vector with
+def _collect_blobs(df) -> list[tuple[bytes, bytes]]:
+    """Collect (idx_b, val_b) blob rows via toPandas — the Arrow transfer
+    path; DataFrame.collect() would fall back to JVM pickling, measurably
+    slower for multi-MB binary columns."""
+    pdf = df.toPandas()
+    return list(zip(pdf["idx_b"], pdf["val_b"]))
+
+
+def _merge_blobs(blobs, out: np.ndarray, op) -> None:
+    """Driver-side merge of collected blobs into the dense vector with
     ``op`` (np.add / np.minimum) applied element-wise at the packed indices."""
-    for r in rows:
-        idx = np.frombuffer(r.idx_b, dtype=np.int64)
-        vals = np.frombuffer(r.val_b, dtype=np.float64)
+    for idx_b, val_b in blobs:
+        idx = np.frombuffer(idx_b, dtype=np.int64)
+        vals = np.frombuffer(val_b, dtype=np.float64)
         op.at(out, idx, vals)
 
 
@@ -217,10 +225,12 @@ def pagerank_csr(
             partials = packed.mapInArrow(
                 scatter_gather, "idx long, partial double"
             ).groupBy("idx").agg(F.sum("partial").alias("partial"))
-            rows = _pack_partials(partials).collect()
+            rows = _collect_blobs(_pack_partials(partials))
         else:
             # one blob row per edge partition; driver add-merges ≤ parts blobs
-            rows = packed.mapInArrow(scatter_gather_blob, _BLOB_SCHEMA).collect()
+            rows = _collect_blobs(
+                packed.mapInArrow(scatter_gather_blob, _BLOB_SCHEMA)
+            )
         bc.destroy()
         gathered = np.zeros(n)
         _merge_blobs(rows, gathered, np.add)
@@ -293,7 +303,7 @@ def _frontier_min_loop(graph: Graph, init: np.ndarray, plus_weight: bool,
                 touched = np.nonzero(np.isfinite(mins))[0]
                 yield _blob_batch(touched, mins[touched])
 
-        rows = pg.packed.mapInArrow(scatter_min, _BLOB_SCHEMA).collect()
+        rows = _collect_blobs(pg.packed.mapInArrow(scatter_min, _BLOB_SCHEMA))
         bc.destroy()
         new_val = val.copy()
         _merge_blobs(rows, new_val, np.minimum)
