@@ -508,6 +508,114 @@ FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
 JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
 )
 
+# ---------------------------------------------------------------------------
+# code-graph derivation gate (the north rule's primary input shape): Spark
+# synthesizes sources(repo, path, commit, lang, content), regex-extracts
+# import edges from CONTENT and self-joins commit memberships into co-change
+# edges (sparkgraph/derive.py); DuckDB reproduces the expected edge sets from
+# the generator's closed form (sparkgraph/io/synth.py grammar, FIXTURES.md §3)
+# WITHOUT reading content — so a value match proves extraction + resolution +
+# graph construction end-to-end, not just that two engines parsed alike.
+
+CG_REPOS = 6
+CG_FPR = 40            # files per repo
+CG_IMPORTS = 3         # import statements per file
+CG_COMMITS = 6
+CG_STRIDE = 7
+CG_SPAN = 3
+CG_COCHANGE_CAP = 20   # max files/commit: drops each repo's 40-file commit 0
+                       # (the mega-commit skew guard, exercised in the gate)
+CG_PR_ITERS = 12
+
+# closed-form grammar twin of synthesize_sources(): file f of repo r imports
+# modules (f + j*step) % FPR for j in 1..K (step = r%5+1, self excluded);
+# commit c touches f iff c == 0 or (f + c) % STRIDE < SPAN.
+_CG_CTE = f"""
+cg_paths AS MATERIALIZED (
+  SELECT r, f,
+         printf('org/project-%03d', r) AS repo,
+         printf('src/mod_%d.%s', f, ['py','h','java'][CAST(f % 3 AS INT) + 1]) AS path,
+         (r % 5) + 1 AS step
+  FROM (SELECT CAST(x // {CG_FPR} AS BIGINT) AS r, CAST(x % {CG_FPR} AS BIGINT) AS f
+        FROM range({CG_REPOS * CG_FPR}) t(x))
+),
+cg_imports AS MATERIALIZED (
+  SELECT DISTINCT r, f, ((f + j.j * step) % {CG_FPR}) AS t
+  FROM cg_paths, (SELECT CAST(x AS BIGINT) AS j FROM range(1, {CG_IMPORTS + 1}) t(x)) j
+  WHERE ((f + j.j * step) % {CG_FPR}) <> f
+),
+cg_mem AS MATERIALIZED (
+  SELECT r, c.c, f
+  FROM cg_paths, (SELECT CAST(x AS BIGINT) AS c FROM range({CG_COMMITS}) t(x)) c
+  WHERE c.c = 0 OR ((f + c.c) % {CG_STRIDE}) < {CG_SPAN}
+),
+cg_commit_ok AS MATERIALIZED (
+  SELECT r, c FROM cg_mem GROUP BY r, c HAVING COUNT(*) <= {CG_COCHANGE_CAP}
+),
+cg_cochange AS MATERIALIZED (
+  SELECT DISTINCT a.r, a.f AS f1, b.f AS f2
+  FROM cg_mem a
+  JOIN cg_mem b ON a.r = b.r AND a.c = b.c AND a.f < b.f
+  JOIN cg_commit_ok ok ON a.r = ok.r AND a.c = ok.c
+)"""
+
+_CG_IMPORTS_SQL = (
+    "WITH " + _CG_CTE + """
+SELECT p1.repo AS repo, p1.path AS src_path, p2.path AS dst_path
+FROM cg_imports e
+JOIN cg_paths p1 ON e.r = p1.r AND e.f = p1.f
+JOIN cg_paths p2 ON e.r = p2.r AND e.t = p2.f"""
+)
+
+_CG_COCHANGE_SQL = (
+    "WITH " + _CG_CTE + """
+SELECT p1.repo AS repo,
+       LEAST(p1.path, p2.path) AS path_a,
+       GREATEST(p1.path, p2.path) AS path_b
+FROM cg_cochange e
+JOIN cg_paths p1 ON e.r = p1.r AND e.f1 = p1.f
+JOIN cg_paths p2 ON e.r = p2.r AND e.f2 = p2.f"""
+)
+
+
+def _codegraph_pagerank_sql(iters: int) -> str:
+    """Unrolled reference-mode PageRank over the closed-form import∪cochange
+    multigraph (string vertex ids repo|path; parallel edges count in deg,
+    matching Graph.edges_sym / degrees semantics)."""
+    prefix = (
+        _CG_CTE
+        + f""",
+cg_e AS MATERIALIZED (
+  SELECT p1.repo || '|' || p1.path AS src, p2.repo || '|' || p2.path AS dst
+  FROM (SELECT r, f AS fs, t AS fd FROM cg_imports
+        UNION ALL SELECT r, f1 AS fs, f2 AS fd FROM cg_cochange) e
+  JOIN cg_paths p1 ON e.r = p1.r AND e.fs = p1.f
+  JOIN cg_paths p2 ON e.r = p2.r AND e.fd = p2.f
+),
+sym AS MATERIALIZED (SELECT src, dst FROM cg_e UNION ALL SELECT dst AS src, src AS dst FROM cg_e),
+verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
+deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src)"""
+    )
+    ctes = ["x1 AS MATERIALIZED (SELECT id, (SELECT 0.15 / COUNT(*) FROM verts) AS v FROM verts)"]
+    for k in range(2, iters + 1):
+        ctes.append(
+            f"""x{k} AS MATERIALIZED (
+  SELECT t.id, (SELECT 0.15 / COUNT(*) FROM verts) + 0.85 * COALESCE(m.s, 0) AS v
+  FROM verts t LEFT JOIN (
+    SELECT sym.dst AS id, SUM(p.v / deg.deg) AS s
+    FROM sym JOIN x{k-1} p ON sym.src = p.id JOIN deg ON sym.src = deg.id
+    GROUP BY sym.dst
+  ) m ON t.id = m.id
+)"""
+        )
+    return (
+        "WITH " + prefix + ",\n" + ",\n".join(ctes)
+        + f"""
+SELECT p.repo, p.path, ROUND(x.v, 9) AS score
+FROM x{iters} x JOIN (SELECT repo || '|' || path AS id, repo, path FROM cg_paths) p
+ON x.id = p.id"""
+    )
+
 _LANG_CASE = """CASE
   WHEN en >= GREATEST(de, fr, es) AND en > 0 THEN 'en'
   WHEN de >= GREATEST(fr, es) AND de > 0 THEN 'de'
@@ -811,6 +919,83 @@ def _q_topk_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(res.state, 25).select("id", F.round("value", 9).alias("score"))
 
 
+def _codegraph_sources(spark: SparkSession) -> DataFrame:
+    """Deterministic sources(repo, path, commit, lang, content) fixture —
+    the engine's primary input shape (BASELINE.json input_hint), generated
+    fully distributed (sparkgraph/io/synth.py)."""
+    from sparkgraph.io.synth import synthesize_sources
+
+    return synthesize_sources(
+        spark,
+        n_repos=CG_REPOS,
+        files_per_repo=CG_FPR,
+        imports_per_file=CG_IMPORTS,
+        commits_per_repo=CG_COMMITS,
+        commit_stride=CG_STRIDE,
+        commit_span=CG_SPAN,
+    )
+
+
+def _q_codegraph_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # real path: regex-extract import statements from content (vectorized
+    # pandas UDF), resolve against same-repo path stems — the oracle only
+    # knows the generator's closed form, so values prove the whole chain
+    from sparkgraph.derive import derive_import_edges
+    from sparkgraph.ingest import ingest_sources
+
+    verts = ingest_sources(_codegraph_sources(spark))
+    p = verts.select("id", "repo", "path")
+    return (
+        derive_import_edges(verts)
+        .join(p.select(F.col("id").alias("src"), "repo",
+                       F.col("path").alias("src_path")), "src")
+        .join(p.select(F.col("id").alias("dst"),
+                       F.col("path").alias("dst_path")), "dst")
+        .select("repo", "src_path", "dst_path")
+    )
+
+
+def _q_codegraph_cochange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # commit self-join with the mega-commit cap LIVE: commit 0 touches all
+    # CG_FPR files and must be dropped by the skew guard
+    from sparkgraph.derive import derive_cochange_edges
+    from sparkgraph.ingest import commit_memberships, ingest_sources
+
+    src = _codegraph_sources(spark)
+    verts = ingest_sources(src)
+    mem = commit_memberships(src)
+    p = verts.select("id", "repo", "path")
+    return (
+        derive_cochange_edges(mem, max_commit_files=CG_COCHANGE_CAP)
+        .join(p.select(F.col("id").alias("src"), "repo",
+                       F.col("path").alias("pa")), "src")
+        .join(p.select(F.col("id").alias("dst"), F.col("path").alias("pb")), "dst")
+        .select(
+            "repo",
+            F.least("pa", "pb").alias("path_a"),
+            F.greatest("pa", "pb").alias("path_b"),
+        )
+    )
+
+
+def _q_codegraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # end-to-end north-rule chain: content → import+cochange edges → Graph →
+    # reference-mode PageRank, reported per (repo, path) file node
+    from sparkgraph.derive import derive_code_edges
+    from sparkgraph.ingest import commit_memberships, ingest_sources
+
+    src = _codegraph_sources(spark)
+    verts = ingest_sources(src)
+    edges = derive_code_edges(
+        verts, commit_memberships(src), max_commit_files=CG_COCHANGE_CAP
+    )
+    g = Graph(edges.select("src", "dst"))
+    res = pagerank(g, mode="reference", iterations=CG_PR_ITERS)
+    return res.state.join(verts.select("id", "repo", "path"), "id").select(
+        "repo", "path", F.round("value", 9).alias("score")
+    )
+
+
 def _q_ingest_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _read(spark, sf_dir, "documents").select(
         "doc_id", F.sha2("text", 256).alias("content_sha")
@@ -945,6 +1130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_csr_bipartite": _q_cc_csr,
         "triangles_suppliers": _q_triangles,
         "scc_parts_affine": _q_scc,
+        "codegraph_import_edges": _q_codegraph_imports,
+        "codegraph_cochange_edges": _q_codegraph_cochange,
+        "codegraph_pagerank": _q_codegraph_pagerank,
         "betweenness_bipartite": _q_betweenness,
         "kcore_parts": _q_kcore_parts,
         "linkpred_parts": _q_linkpred_parts,
@@ -990,6 +1178,9 @@ def oracle_sql() -> dict[str, str]:
         "cc_csr_bipartite": _cc_sql(CC_ITERS, _BIP_CTE),
         "triangles_suppliers": _TRIANGLES_SQL,
         "scc_parts_affine": _SCC_SQL,
+        "codegraph_import_edges": _CG_IMPORTS_SQL,
+        "codegraph_cochange_edges": _CG_COCHANGE_SQL,
+        "codegraph_pagerank": _codegraph_pagerank_sql(CG_PR_ITERS),
         "betweenness_bipartite": _betweenness_sql(BETW_PIVOTS, BETW_DEPTH),
         "kcore_parts": _kcore_sql(KCORE_K, KCORE_ITERS),
         "linkpred_parts": _LINKPRED_PARTS_SQL,
