@@ -69,18 +69,33 @@ def image_features(
             b = b[b["kind"] == "image"]
             if b.empty:
                 continue
-            rows = []
-            for _, r in b.iterrows():
-                m = r["meta"]
-                px = backend.decode_image(
-                    bytes(r["data"]), m["width"], m["height"], m["channels"]
-                )
-                rows.append(
-                    (r["media_id"], float(px.mean()), float(px.std()),
-                     m["width"], m["height"])
-                )
+            metas = b["meta"].tolist()
+            widths = np.array([m["width"] for m in metas], dtype=np.int32)
+            heights = np.array([m["height"] for m in metas], dtype=np.int32)
+            chans = np.array([m["channels"] for m in metas], dtype=np.int32)
+            # decode is inherently per-blob (variable-size opaque bytes); the
+            # reduce is vectorized over the whole Arrow batch: one flat pixel
+            # buffer + segment-wise reduceat instead of per-image Python math
+            flat = np.concatenate(
+                [
+                    backend.decode_image(bytes(d), w, h, c).ravel()
+                    for d, w, h, c in zip(b["data"], widths, heights, chans)
+                ]
+            )
+            sizes = (widths.astype(np.int64) * heights * chans)
+            starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+            sums = np.add.reduceat(flat, starts)
+            sumsq = np.add.reduceat(flat * flat, starts)
+            mean = sums / sizes
+            std = np.sqrt(np.maximum(sumsq / sizes - mean * mean, 0.0))
             yield pd.DataFrame(
-                rows, columns=["media_id", "mean", "std", "width", "height"]
+                {
+                    "media_id": b["media_id"].to_numpy(),
+                    "mean": mean.astype(np.float64),
+                    "std": std.astype(np.float64),
+                    "width": widths,
+                    "height": heights,
+                }
             )
 
     return df.mapInPandas(
