@@ -508,6 +508,65 @@ FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
 JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
 )
 
+WALK_LEN = 6
+WALK_WINDOW = 2
+
+
+def _walks_cte(walk_len: int) -> str:
+    """Closed-form twin of algorithms.walks: dst-ranked simple adjacency,
+    one walk per vertex, affine next-hop mixer, unrolled ``walk_len`` hops."""
+    from sparkgraph.algorithms.walks import AFFINE_MOD, AFFINE_S, AFFINE_V, AFFINE_W
+
+    prefix = (
+        _BIP_CTE
+        + """,
+simple AS MATERIALIZED (SELECT DISTINCT src, dst FROM sym),
+adj AS MATERIALIZED (
+  SELECT src, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx, dst
+  FROM simple
+),
+adeg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM simple GROUP BY src),
+w0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur FROM verts)"""
+    )
+    ctes = []
+    for s in range(1, walk_len + 1):
+        mix = (
+            f"((w.cur*{AFFINE_V} + w.walk_id*{AFFINE_W} + {s * AFFINE_S}) "
+            f"% {AFFINE_MOD}) % d.deg"
+        )
+        ctes.append(
+            f"""w{s} AS MATERIALIZED (
+  SELECT w.walk_id, a.dst AS cur
+  FROM w{s-1} w JOIN adeg d ON w.cur = d.id
+  JOIN adj a ON a.src = w.cur AND a.idx = {mix}
+)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT walk_id, {s} AS step, cur AS vertex FROM w{s}"
+        for s in range(walk_len + 1)
+    )
+    return (
+        "WITH " + prefix + ",\n" + ",\n".join(ctes)
+        + f",\ntrace AS MATERIALIZED (\n{union}\n)"
+    )
+
+
+def _walks_sql(walk_len: int) -> str:
+    return _walks_cte(walk_len) + "\nSELECT walk_id, step, vertex FROM trace"
+
+
+def _skipgram_sql(walk_len: int, window: int) -> str:
+    return (
+        _walks_cte(walk_len)
+        + f"""
+SELECT a.vertex AS center, b.vertex AS context, COUNT(*) AS n_cooc
+FROM trace a JOIN trace b
+  ON a.walk_id = b.walk_id AND a.step <> b.step
+ AND ABS(a.step - b.step) <= {window}
+GROUP BY a.vertex, b.vertex"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # code-graph derivation gate (the north rule's primary input shape): Spark
 # synthesizes sources(repo, path, commit, lang, content), regex-extracts
@@ -919,6 +978,22 @@ def _q_topk_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(res.state, 25).select("id", F.round("value", 9).alias("score"))
 
 
+def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # affine mixer = the SQL-expressible one; production default is xxhash64
+    # (pytest gates both against a pure-Python walk oracle)
+    from sparkgraph.algorithms import random_walks
+
+    g = Graph(bipartite_edges(spark, sf_dir))
+    return random_walks(g, WALK_LEN, mixer="affine")
+
+
+def _q_walk_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.algorithms import random_walks, skipgram_pairs
+
+    g = Graph(bipartite_edges(spark, sf_dir))
+    return skipgram_pairs(random_walks(g, WALK_LEN, mixer="affine"), window=WALK_WINDOW)
+
+
 def _codegraph_sources(spark: SparkSession) -> DataFrame:
     """Deterministic sources(repo, path, commit, lang, content) fixture —
     the engine's primary input shape (BASELINE.json input_hint), generated
@@ -1130,6 +1205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_csr_bipartite": _q_cc_csr,
         "triangles_suppliers": _q_triangles,
         "scc_parts_affine": _q_scc,
+        "random_walks_bipartite": _q_random_walks,
+        "walk_skipgram_bipartite": _q_walk_skipgram,
         "codegraph_import_edges": _q_codegraph_imports,
         "codegraph_cochange_edges": _q_codegraph_cochange,
         "codegraph_pagerank": _q_codegraph_pagerank,
@@ -1178,6 +1255,8 @@ def oracle_sql() -> dict[str, str]:
         "cc_csr_bipartite": _cc_sql(CC_ITERS, _BIP_CTE),
         "triangles_suppliers": _TRIANGLES_SQL,
         "scc_parts_affine": _SCC_SQL,
+        "random_walks_bipartite": _walks_sql(WALK_LEN),
+        "walk_skipgram_bipartite": _skipgram_sql(WALK_LEN, WALK_WINDOW),
         "codegraph_import_edges": _CG_IMPORTS_SQL,
         "codegraph_cochange_edges": _CG_COCHANGE_SQL,
         "codegraph_pagerank": _codegraph_pagerank_sql(CG_PR_ITERS),

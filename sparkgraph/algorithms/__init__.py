@@ -4,3 +4,4 @@ from sparkgraph.algorithms.components import connected_components  # noqa: F401
 from sparkgraph.algorithms.lpa import label_propagation  # noqa: F401
 from sparkgraph.algorithms.triangles import triangle_count  # noqa: F401
 from sparkgraph.algorithms.scc import strongly_connected_components  # noqa: F401
+from sparkgraph.algorithms.walks import random_walks, skipgram_pairs  # noqa: F401

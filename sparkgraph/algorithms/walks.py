@@ -1,0 +1,128 @@
+"""Deterministic random-walk corpus generation + skip-gram pair extraction.
+
+DeepWalk-style (Perozzi et al. 2014) graph→sequence sampling, the standard
+feeder for embedding training — added surface beyond the reference
+(SURVEY.md §2C lists no sampling op), motivated by the training-data-pipeline
+mandate: at corpus scale you materialize walk corpora and skip-gram pairs as
+tables, not in-memory arrays.
+
+Determinism instead of RNG: the next-hop choice is a pure function
+``mix(walk_id, step, vertex) mod deg(vertex)`` over an *indexed* adjacency
+(neighbors ranked by dst). Two mixers ship:
+
+  * ``xxhash``  — production default, well-scrambled 64-bit avalanche;
+  * ``affine``  — Knuth-style multiplicative mix, expressible in ANSI SQL, so
+    the whole walk is DuckDB-oracle-checkable (the gate uses this one).
+
+Scale shape (the part that matters at 100 TB): each step is ONE equi-join on
+``(src, idx)`` — exactly one adjacency row per walker, so hub skew never
+amplifies the join (contrast a neighbor-explode + sample, which is O(deg) per
+walker). The adjacency is persisted pre-partitioned by src; walker state is
+O(n_walks) rows per step with lineage truncated; the full trace is a lazy
+union of per-step frontiers, never driver-collected.
+
+Walks run on the *simple* undirected view (deduped symmetrized edges): the
+neighbor index must be unambiguous, and parallel edges would make
+``row_number`` order engine-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparkgraph.graph import Graph
+from sparkgraph.pregel import truncate_lineage
+
+# Knuth multiplicative constants; the modulus keeps every intermediate far
+# inside int64 for vertex ids < ~3e15 (ANSI-safe in Spark, exact in DuckDB).
+AFFINE_V = 2654435761
+AFFINE_W = 1103515245
+AFFINE_S = 12345
+AFFINE_MOD = 2**31
+
+
+def _mix(mixer: str, walk_id, step: int, vertex, deg):
+    if mixer == "xxhash":
+        return F.pmod(F.xxhash64(walk_id, F.lit(step), vertex), deg)
+    if mixer == "affine":
+        raw = (
+            vertex * F.lit(AFFINE_V) + walk_id * F.lit(AFFINE_W) + F.lit(step * AFFINE_S)
+        ) % F.lit(AFFINE_MOD)
+        return F.pmod(raw, deg)
+    raise ValueError(f"unknown mixer {mixer!r}")
+
+
+def indexed_adjacency(graph: Graph) -> DataFrame:
+    """(src, idx, dst, deg) over the simple undirected view: neighbors of each
+    src ranked 0..deg-1 by dst (unique per src after dedup ⇒ deterministic),
+    with the simple-graph degree on every row."""
+    simple = graph.edges_sym.select("src", "dst").distinct()
+    w = Window.partitionBy("src")
+    return simple.select(
+        "src",
+        (F.row_number().over(w.orderBy("dst")) - 1).alias("idx"),
+        "dst",
+        F.count(F.lit(1)).over(w).alias("deg"),
+    )
+
+
+def random_walks(
+    graph: Graph,
+    walk_len: int,
+    mixer: str = "xxhash",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """One walk per vertex (walk_id = start id), ``walk_len`` hops on the
+    simple undirected view. Returns the full trace
+    ``(walk_id, step, vertex)`` with step 0 = the start vertex. Every vertex
+    has deg ≥ 1 after symmetrization, so walks never dead-end."""
+    adj_raw = indexed_adjacency(graph).persist()
+    deg = adj_raw.select(F.col("src").alias("vertex"), "deg").distinct()
+    # fresh column names so the per-step self-referencing joins stay
+    # unambiguous (cur is itself derived from adj after step 1)
+    adj = adj_raw.select(
+        F.col("src").alias("a_src"),
+        F.col("idx").alias("a_idx"),
+        F.col("dst").alias("a_dst"),
+    )
+
+    cur = graph.vertices.select(
+        F.col("id").alias("walk_id"), F.col("id").alias("vertex")
+    )
+    levels = [cur.select("walk_id", F.lit(0).alias("step"), "vertex")]
+    for s in range(1, walk_len + 1):
+        picked = cur.join(deg, "vertex").select(
+            "walk_id",
+            F.col("vertex").alias("a_src"),
+            _mix(mixer, F.col("walk_id"), s, F.col("vertex"), F.col("deg")).alias("a_idx"),
+        )
+        cur = picked.join(adj.hint("shuffle_hash"), ["a_src", "a_idx"]).select(
+            "walk_id", F.col("a_dst").alias("vertex")
+        )
+        if s % checkpoint_every == 0:
+            cur = truncate_lineage(cur)
+        levels.append(cur.select("walk_id", F.lit(s).alias("step"), "vertex"))
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Walk trace → (center, context, n_cooc): co-occurrence counts of vertex
+    pairs within ±window steps on the same walk (both directions, the
+    standard skip-gram context). Pure relational self-join on walk_id —
+    shuffles once on walk_id, then map-side combines the counts."""
+    a = walks.select("walk_id", F.col("step").alias("sa"), F.col("vertex").alias("center"))
+    b = walks.select("walk_id", F.col("step").alias("sb"), F.col("vertex").alias("context"))
+    return (
+        a.join(b, "walk_id")
+        .filter(
+            (F.col("sa") != F.col("sb"))
+            & (F.abs(F.col("sa") - F.col("sb")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+    )

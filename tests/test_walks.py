@@ -1,0 +1,115 @@
+"""Random-walk corpus + skip-gram pairs vs pure-Python walk oracles."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from sparkgraph.algorithms.walks import (
+    AFFINE_MOD,
+    AFFINE_S,
+    AFFINE_V,
+    AFFINE_W,
+    indexed_adjacency,
+    random_walks,
+    skipgram_pairs,
+)
+from sparkgraph.graph import Graph
+
+from tests.fixtures import GRAPH_MAIN
+from tests.oracles import symmetrize
+
+
+def _graph(spark, pairs):
+    return Graph(spark.createDataFrame(pairs, "src long, dst long"))
+
+
+def _adj_oracle(pairs):
+    """vertex -> dst-sorted neighbor list on the simple undirected view."""
+    adj: dict[int, set[int]] = {}
+    for s, d in symmetrize(pairs):
+        adj.setdefault(s, set()).add(d)
+    return {v: sorted(ns) for v, ns in adj.items()}
+
+
+def _walks_oracle(pairs, walk_len, mix):
+    adj = _adj_oracle(pairs)
+    trace = []
+    for start in adj:
+        cur = start
+        trace.append((start, 0, cur))
+        for s in range(1, walk_len + 1):
+            ns = adj[cur]
+            cur = ns[mix(start, s, cur) % len(ns)]
+            trace.append((start, s, cur))
+    return sorted(trace)
+
+
+def _affine(walk_id, step, vertex):
+    return (vertex * AFFINE_V + walk_id * AFFINE_W + step * AFFINE_S) % AFFINE_MOD
+
+
+def test_indexed_adjacency_ranks_and_degrees(spark):
+    adj = {(r.src, r.idx): (r.dst, r.deg) for r in indexed_adjacency(_graph(spark, GRAPH_MAIN)).collect()}
+    oracle = _adj_oracle(GRAPH_MAIN)
+    assert len(adj) == sum(len(ns) for ns in oracle.values())
+    for v, ns in oracle.items():
+        for i, d in enumerate(ns):
+            assert adj[(v, i)] == (d, len(ns))
+
+
+def test_affine_walks_match_python_oracle(spark):
+    walk_len = 8
+    got = sorted(
+        (r.walk_id, r.step, r.vertex)
+        for r in random_walks(_graph(spark, GRAPH_MAIN), walk_len, mixer="affine").collect()
+    )
+    assert got == _walks_oracle(GRAPH_MAIN, walk_len, _affine)
+
+
+def test_xxhash_walks_are_valid_and_partitioning_independent(spark):
+    walk_len = 6
+    g1 = _graph(spark, GRAPH_MAIN)
+    t1 = sorted(
+        (r.walk_id, r.step, r.vertex)
+        for r in random_walks(g1, walk_len, mixer="xxhash").collect()
+    )
+    g2 = Graph(
+        spark.createDataFrame(GRAPH_MAIN, "src long, dst long").repartition(7),
+        num_partitions=3,
+    )
+    t2 = sorted(
+        (r.walk_id, r.step, r.vertex)
+        for r in random_walks(g2, walk_len, mixer="xxhash").collect()
+    )
+    assert t1 == t2  # choice is a pure function of (walk_id, step, vertex)
+    adj = _adj_oracle(GRAPH_MAIN)
+    by_walk: dict[int, dict[int, int]] = {}
+    for w, s, v in t1:
+        by_walk.setdefault(w, {})[s] = v
+    assert set(by_walk) == set(adj)
+    for w, steps in by_walk.items():
+        assert steps[0] == w and len(steps) == walk_len + 1
+        for s in range(1, walk_len + 1):
+            assert steps[s] in adj[steps[s - 1]]  # every hop is a real edge
+
+
+def test_skipgram_pairs_match_trace_recount(spark):
+    walk_len, window = 6, 2
+    walks = random_walks(_graph(spark, GRAPH_MAIN), walk_len, mixer="affine")
+    got = {
+        (r.center, r.context): r.n_cooc
+        for r in skipgram_pairs(walks, window=window).collect()
+    }
+    trace = _walks_oracle(GRAPH_MAIN, walk_len, _affine)
+    by_walk: dict[int, dict[int, int]] = {}
+    for w, s, v in trace:
+        by_walk.setdefault(w, {})[s] = v
+    want: Counter = Counter()
+    for steps in by_walk.values():
+        for sa, va in steps.items():
+            for sb, vb in steps.items():
+                if sa != sb and abs(sa - sb) <= window:
+                    want[(va, vb)] += 1
+    assert got == dict(want)
