@@ -508,6 +508,37 @@ FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
 JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
 )
 
+def _closeness_sql(k: int, depth: int) -> str:
+    """Unrolled sampled harmonic closeness: multi-pivot BFS first-seen depths
+    (pivots = k smallest ids, matching harmonic_closeness_sampled's
+    deterministic default), H(v) = (n/k)·Σ 1/depth, normalized by (n-1)."""
+    ctes = [
+        f"pv AS MATERIALIZED (SELECT id AS pvt FROM verts ORDER BY id LIMIT {k})",
+        "s0 AS MATERIALIZED (SELECT pvt, pvt AS id, 0 AS depth FROM pv)",
+        "l0 AS MATERIALIZED (SELECT * FROM s0)",
+    ]
+    for d in range(1, depth + 1):
+        ctes.append(
+            f"""l{d} AS MATERIALIZED (
+  SELECT DISTINCT l.pvt, sym.dst AS id, {d} AS depth
+  FROM sym JOIN l{d-1} l ON sym.src = l.id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM s{d-1} s WHERE s.pvt = l.pvt AND s.id = sym.dst)
+),
+s{d} AS MATERIALIZED (SELECT * FROM s{d-1} UNION ALL SELECT * FROM l{d})"""
+        )
+    return (
+        "WITH " + _BIP_CTE + ",\n" + ",\n".join(ctes)
+        + f"""
+SELECT v.id,
+       ROUND(COALESCE(c.csum, 0) * (SELECT COUNT(*) FROM verts) / {float(k)}
+             / GREATEST((SELECT COUNT(*) FROM verts) - 1, 1), 9) AS closeness
+FROM verts v LEFT JOIN (
+  SELECT id, SUM(1.0 / depth) AS csum FROM s{depth} WHERE depth > 0 GROUP BY id
+) c ON v.id = c.id"""
+    )
+
+
 WALK_LEN = 6
 WALK_WINDOW = 2
 
@@ -978,6 +1009,14 @@ def _q_topk_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(res.state, 25).select("id", F.round("value", 9).alias("score"))
 
 
+def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.algorithms import harmonic_closeness_sampled
+
+    g = Graph(bipartite_edges(spark, sf_dir))
+    res = harmonic_closeness_sampled(g, k=BETW_PIVOTS)
+    return res.state.select("id", F.round("closeness", 9).alias("closeness"))
+
+
 def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # affine mixer = the SQL-expressible one; production default is xxhash64
     # (pytest gates both against a pure-Python walk oracle)
@@ -1205,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_csr_bipartite": _q_cc_csr,
         "triangles_suppliers": _q_triangles,
         "scc_parts_affine": _q_scc,
+        "closeness_bipartite": _q_closeness,
         "random_walks_bipartite": _q_random_walks,
         "walk_skipgram_bipartite": _q_walk_skipgram,
         "codegraph_import_edges": _q_codegraph_imports,
@@ -1255,6 +1295,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_csr_bipartite": _cc_sql(CC_ITERS, _BIP_CTE),
         "triangles_suppliers": _TRIANGLES_SQL,
         "scc_parts_affine": _SCC_SQL,
+        "closeness_bipartite": _closeness_sql(BETW_PIVOTS, BETW_DEPTH),
         "random_walks_bipartite": _walks_sql(WALK_LEN),
         "walk_skipgram_bipartite": _skipgram_sql(WALK_LEN, WALK_WINDOW),
         "codegraph_import_edges": _CG_IMPORTS_SQL,
