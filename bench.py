@@ -78,6 +78,16 @@ def main() -> None:
         10 * n_edges_pl / timings["pagerank10_csr_powerlaw"], 1
     )
 
+    # -- random-walk corpus on the hub-skewed graph ---------------------------
+    # one walk per vertex; the per-hop (src, idx) equi-join picks exactly one
+    # adjacency row per walker, so hub degree never amplifies the join
+    from sparkgraph.algorithms import random_walks
+
+    timed("walks10_powerlaw", lambda: random_walks(g_pl, 10).count())
+    extra["walk_hops_per_sec"] = round(
+        10 * POWERLAW_VERTS / timings["walks10_powerlaw"], 1
+    )
+
     # -- supplier triangles + document dedup ---------------------------------
     g_sup = Graph(entrymod.supplier_edges(spark, sf_dir))
     timed("triangles_suppliers", lambda: triangle_count(g_sup))

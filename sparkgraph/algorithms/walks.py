@@ -61,7 +61,9 @@ def indexed_adjacency(graph: Graph) -> DataFrame:
     w = Window.partitionBy("src")
     return simple.select(
         "src",
-        (F.row_number().over(w.orderBy("dst")) - 1).alias("idx"),
+        # long, not int: the per-hop join key is a bigint pick — a type
+        # mismatch would re-cast (and re-exchange) the persisted adjacency
+        (F.row_number().over(w.orderBy("dst")) - 1).cast("long").alias("idx"),
         "dst",
         F.count(F.lit(1)).over(w).alias("deg"),
     )
@@ -71,35 +73,49 @@ def random_walks(
     graph: Graph,
     walk_len: int,
     mixer: str = "xxhash",
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """One walk per vertex (walk_id = start id), ``walk_len`` hops on the
     simple undirected view. Returns the full trace
     ``(walk_id, step, vertex)`` with step 0 = the start vertex. Every vertex
     has deg ≥ 1 after symmetrization, so walks never dead-end."""
-    adj_raw = indexed_adjacency(graph).persist()
+    adj_raw = indexed_adjacency(graph)
     deg = adj_raw.select(F.col("src").alias("vertex"), "deg").distinct()
-    # fresh column names so the per-step self-referencing joins stay
-    # unambiguous (cur is itself derived from adj after step 1)
-    adj = adj_raw.select(
-        F.col("src").alias("a_src"),
-        F.col("idx").alias("a_idx"),
-        F.col("dst").alias("a_dst"),
+    # One join per hop: each adjacency row carries the DESTINATION's degree
+    # (a_ddeg), so the walker lands already knowing the modulus for its next
+    # pick — no per-step degree join. Fresh column names keep the
+    # self-referencing joins unambiguous (cur derives from adj after hop 1).
+    adj = (
+        adj_raw.join(
+            adj_raw.select(F.col("src").alias("dst"), F.col("deg").alias("ddeg")).distinct(),
+            "dst",
+        )
+        .select(
+            F.col("src").alias("a_src"),
+            F.col("idx").alias("a_idx"),
+            F.col("dst").alias("a_dst"),
+            F.col("ddeg").alias("a_ddeg"),
+        )
+        # pre-partition by the per-hop join key and persist: the (large)
+        # adjacency side is never re-exchanged inside the hop loop — only the
+        # walker frontier shuffles (mirrors Graph.edges_sym's scatter layout)
+        .repartition(graph.num_partitions, "a_src", "a_idx")
+        .persist()
     )
 
-    cur = graph.vertices.select(
-        F.col("id").alias("walk_id"), F.col("id").alias("vertex")
-    )
+    cur = deg.select(F.col("vertex").alias("walk_id"), "vertex", "deg")
     levels = [cur.select("walk_id", F.lit(0).alias("step"), "vertex")]
     for s in range(1, walk_len + 1):
-        picked = cur.join(deg, "vertex").select(
+        picked = cur.select(
             "walk_id",
             F.col("vertex").alias("a_src"),
             _mix(mixer, F.col("walk_id"), s, F.col("vertex"), F.col("deg")).alias("a_idx"),
         )
-        cur = picked.join(adj.hint("shuffle_hash"), ["a_src", "a_idx"]).select(
-            "walk_id", F.col("a_dst").alias("vertex")
+        cur = picked.hint("shuffle_hash").join(adj, ["a_src", "a_idx"]).select(
+            "walk_id", F.col("a_dst").alias("vertex"), F.col("a_ddeg").alias("deg")
         )
+        # eager checkpoint each hop: the returned trace unions every level, so
+        # an un-truncated level s would recompute joins 1..s — O(L²) work
         if s % checkpoint_every == 0:
             cur = truncate_lineage(cur)
         levels.append(cur.select("walk_id", F.lit(s).alias("step"), "vertex"))
