@@ -6,7 +6,7 @@ the new engine's extras, shippable via spark-submit:
     python -m sparkgraph.cli pagerank --input edges.txt            # local
 
 Subcommands: pagerank | sssp | cc | scc | lpa | triangles | hits | kcore |
-ingest.
+closeness | walks | ingest.
 Input: an edge-list text file (reference format), a parquet edge table
 (src,dst[,weight]), or — for ``ingest`` — a sources table
 (repo,path,commit,lang,content) from which the code graph is derived.
@@ -69,6 +69,13 @@ def main(argv: list[str] | None = None) -> int:
     kc = sub.add_parser("kcore")
     common(kc)
     kc.add_argument("--k", type=int, required=True)
+    cl = sub.add_parser("closeness")
+    common(cl)
+    cl.add_argument("--pivots", type=int, default=8, help="BFS pivot sample size")
+    wk = sub.add_parser("walks")
+    common(wk)
+    wk.add_argument("--walk-len", type=int, default=10)
+    wk.add_argument("--mixer", choices=["xxhash", "affine"], default="xxhash")
     ing = sub.add_parser("ingest")
     ing.add_argument("--master", default=None)
     ing.add_argument("--input", required=True, help="sources table (parquet)")
@@ -151,6 +158,18 @@ def main(argv: list[str] | None = None) -> int:
             from sparkgraph.algorithms.kcore import k_core
             res = k_core(g, args.k)
             out = res.state.select("id", F.lit(1.0).alias("value"))
+        elif args.cmd == "closeness":
+            from sparkgraph.algorithms import harmonic_closeness_sampled
+            res = harmonic_closeness_sampled(g, k=args.pivots)
+            out = res.state.withColumnRenamed("closeness", "value")
+        elif args.cmd == "walks":
+            from sparkgraph.algorithms import random_walks
+            trace = random_walks(g, args.walk_len, mixer=args.mixer)
+            if args.output:
+                trace.write.mode("overwrite").parquet(args.output)
+            n = trace.count()
+            print(json.dumps({"walks": n // (args.walk_len + 1), "trace_rows": n}))
+            return 0
         else:  # pragma: no cover
             raise AssertionError(args.cmd)
 
