@@ -508,6 +508,33 @@ FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
 JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
 )
 
+# h-index iteration reaches the coreness fixpoint in 19 rounds on the sf0.01
+# parts graph; unrolled to 24 for margin (extra rounds are no-ops at the
+# fixpoint in both engines — H of a fixpoint assignment maps to itself)
+CORENESS_ITERS = 24
+
+
+def _coreness_sql(iters: int) -> str:
+    """Unrolled h-index iteration (Lü et al. 2016): c₀ = degree, then
+    c_{t+1}(v) = max over desc-ranked neighbor values of min(rank, value)."""
+    ctes = ["h0 AS MATERIALIZED (SELECT src AS id, COUNT(*) AS c FROM sym GROUP BY src)"]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""h{t} AS MATERIALIZED (
+  SELECT u AS id, MAX(LEAST(rn, cv)) AS c
+  FROM (
+    SELECT sym.src AS u, p.c AS cv,
+           ROW_NUMBER() OVER (PARTITION BY sym.src ORDER BY p.c DESC) AS rn
+    FROM sym JOIN h{t-1} p ON sym.dst = p.id
+  ) r GROUP BY u
+)"""
+        )
+    return (
+        "WITH " + _PART_CTE + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT id, c AS coreness FROM h{iters}"
+    )
+
+
 def _closeness_sql(k: int, depth: int) -> str:
     """Unrolled sampled harmonic closeness: multi-pivot BFS first-seen depths
     (pivots = k smallest ids, matching harmonic_closeness_sampled's
@@ -1009,6 +1036,13 @@ def _q_topk_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(res.state, 25).select("id", F.round("value", 9).alias("score"))
 
 
+def _q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.algorithms.kcore import coreness
+
+    g = Graph(part_edges(spark, sf_dir))
+    return coreness(g).state
+
+
 def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkgraph.algorithms import harmonic_closeness_sampled
 
@@ -1252,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codegraph_pagerank": _q_codegraph_pagerank,
         "betweenness_bipartite": _q_betweenness,
         "kcore_parts": _q_kcore_parts,
+        "coreness_parts": _q_coreness,
         "linkpred_parts": _q_linkpred_parts,
         "clustering_parts": _q_clustering_parts,
         "hits_bipartite": _q_hits,
@@ -1303,6 +1338,7 @@ def oracle_sql() -> dict[str, str]:
         "codegraph_pagerank": _codegraph_pagerank_sql(CG_PR_ITERS),
         "betweenness_bipartite": _betweenness_sql(BETW_PIVOTS, BETW_DEPTH),
         "kcore_parts": _kcore_sql(KCORE_K, KCORE_ITERS),
+        "coreness_parts": _coreness_sql(CORENESS_ITERS),
         "linkpred_parts": _LINKPRED_PARTS_SQL,
         "clustering_parts": _CLUSTERING_PARTS_SQL,
         "hits_bipartite": _hits_sql(HITS_ITERS),

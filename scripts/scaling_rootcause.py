@@ -66,11 +66,17 @@ elif job == "shuffle":
     t0 = time.monotonic()
     probe.collect()
     dt = time.monotonic() - t0
-else:  # pagerank
+else:  # pagerank | fixedcost | fixedcost_noaqe
     from sparkgraph.graph import Graph
     from sparkgraph.algorithms import pagerank
     from sparkgraph.io.synth import powerlaw_edges
-    g = Graph(powerlaw_edges(spark, 8_000_000, 1_000_000), num_partitions=parts)
+    if job == "fixedcost_noaqe":
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # fixedcost: a graph so small the parallel work is ~zero — superstep wall
+    # time then IS the per-superstep fixed cost c(p) (scheduling, planning,
+    # eager-checkpoint job latency); pagerank: the real workload
+    n_e, n_v = (8_000_000, 1_000_000) if job == "pagerank" else (20_000, 5_000)
+    g = Graph(powerlaw_edges(spark, n_e, n_v), num_partitions=parts)
     n_sym = g.edges_sym.count()
     _ = g.degrees.count()
     t0 = time.monotonic()
@@ -108,7 +114,9 @@ def main() -> None:
     for job, parts_list in [
         ("compute", [32]),
         ("shuffle", [32]),
-        ("pagerank", [32, 4 * args.high]),  # granularity sweep on the real job
+        ("pagerank", [32]),
+        ("fixedcost", [32]),        # tiny graph: wall ≈ 10·c(p)
+        ("fixedcost_noaqe", [32]),  # is AQE replanning part of c?
     ]:
         for parts in parts_list:
             lo = min(run(job, args.low, parts)["seconds"] for _ in range(args.repeat))

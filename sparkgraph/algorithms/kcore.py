@@ -64,3 +64,60 @@ def k_core(graph: Graph, k: int, max_iter: int = 50) -> PregelResult:
     alive = deg.select("id")
     sym.unpersist()
     return loop.finish(alive, step, converged, result=alive)
+
+
+def coreness(graph: Graph, max_iter: int = 100) -> PregelResult:
+    """Full k-core decomposition: the core number of EVERY vertex at once,
+    via h-index iteration (Lü et al. 2016, "Vital nodes identification in
+    complex networks"): c₀(v) = deg(v), then c_{t+1}(v) = H-index of
+    {c_t(u) : u ∈ N(v)} — monotonically non-increasing, fixpoint = coreness.
+
+    One peel-free relational round: scatter neighbor values, rank them
+    descending per vertex (window), h = max(min(rank, value)). Rounds to
+    fixpoint are small in practice (≤ graph's core height); every round is a
+    full-edge join, so prefer ``k_core`` when only one k matters.
+    Returns state ``(id, coreness: long)``."""
+    simple = graph.simple_undirected()
+    sym = simple.unionByName(
+        simple.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).repartition(graph.num_partitions, "u").persist()
+    loop = SuperstepLoop("coreness", {"max_iter": max_iter})
+
+    state = truncate_lineage(
+        sym.groupBy(F.col("u").alias("id")).agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    step = 0
+    converged = False
+    while step < max_iter:
+        loop.step_started()
+        nbr = sym.join(
+            state.select(F.col("id").alias("v"), F.col("c").alias("cv")).hint(
+                "shuffle_hash"
+            ),
+            "v",
+        ).select("u", "cv")
+        rn = F.row_number().over(Window.partitionBy("u").orderBy(F.desc("cv")))
+        h = (
+            nbr.select("u", "cv", rn.alias("rn"))
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.max(F.least(F.col("rn"), F.col("cv"))).alias("h"))
+        )
+        new_state = truncate_lineage(
+            state.join(h, "id").select(
+                "id", F.col("h").alias("c"), (F.col("h") != F.col("c")).alias("chg")
+            )
+        )
+        changed = new_state.filter("chg").count()
+        new_state = new_state.drop("chg")
+        step += 1
+        loop.step_done(new_state, step, changed=changed)
+        state = new_state
+        if changed == 0:
+            converged = True
+            break
+
+    out = state.withColumnRenamed("c", "coreness")
+    sym.unpersist()
+    return loop.finish(out, step, converged, result=out)

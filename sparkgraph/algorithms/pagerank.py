@@ -45,6 +45,7 @@ def pagerank(
     salts: int = 16,
     reset_to: int | None = None,
     weighted: bool = False,
+    eager_checkpoint: bool | None = None,
 ) -> PregelResult:
     """Returns state ``(id, value)``; ``result.metrics`` carries per-superstep
     wall time and (in convergence mode) the max-abs delta.
@@ -61,9 +62,19 @@ def pagerank(
     ``weighted``: contributions proportional to edge weight
     (``value·w/Σw(out)``) instead of the reference's uniform ``value/deg``
     (weights are hard-coded 1.0 in the reference loader, worker/worker.go:165
-    — both modes agree on unit-weight graphs)."""
+    — both modes agree on unit-weight graphs).
+
+    ``eager_checkpoint``: default (None) = lazy per-superstep checkpoints in
+    reference mode — the plan is truncated each superstep but the whole
+    fixed-iteration loop executes as ONE job at the terminal action,
+    amortizing per-job scheduling/AQE-planning fixed cost (NB: per-superstep
+    ``metrics.seconds`` then measure plan construction, not execution).
+    Convergence mode is always effectively eager (the delta collect runs the
+    superstep); pass True to force eager jobs for per-superstep timing."""
     if mode not in ("reference", "convergence"):
         raise ValueError(f"unknown mode {mode!r}")
+    if eager_checkpoint is None:
+        eager_checkpoint = mode == "convergence"
     spark = graph.spark
     n = graph.num_vertices
     if n == 0:
@@ -154,7 +165,7 @@ def pagerank(
                 F.col("value").alias("prev"),
             )
         )
-        new_state = truncate_lineage(new_state)
+        new_state = truncate_lineage(new_state, eager=eager_checkpoint)
 
         delta = None
         if mode == "convergence":

@@ -23,12 +23,20 @@ from pyspark.sql import functions as F
 MANIFEST_NAME = "_manifest.json"
 
 
-def truncate_lineage(df: DataFrame) -> DataFrame:
-    """Eager localCheckpoint: materializes the DataFrame and cuts the logical
-    plan so iterative loops don't grow unbounded lineage (the classic Spark
-    iterative-workload footgun). Preserves partitioning.
+def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """localCheckpoint: cuts the logical plan so iterative loops don't grow
+    unbounded lineage (the classic Spark iterative-workload footgun).
+    Preserves partitioning.
+
+    ``eager=True`` materializes now — one Spark job per call, which is the
+    right shape when the loop needs the data anyway (convergence deltas,
+    frontier counts). ``eager=False`` truncates the plan immediately but
+    defers execution to the terminal action: a fixed-iteration loop then runs
+    as ONE job instead of one per superstep, amortizing the per-job
+    scheduling/planning fixed cost (measured: −30% wall on a fixed-cost-bound
+    graph, scripts/scaling_rootcause.py).
     """
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=eager)
 
 
 def partition_lineage(df: DataFrame, cols: list[str]) -> list[dict]:

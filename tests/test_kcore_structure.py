@@ -3,7 +3,7 @@
 import math
 from collections import defaultdict
 
-from sparkgraph.algorithms.kcore import k_core
+from sparkgraph.algorithms.kcore import coreness, k_core
 from sparkgraph.algorithms.structure import (
     global_clustering_coefficient,
     link_prediction,
@@ -49,6 +49,56 @@ def test_kcore_matches_peeling_oracle(spark):
 def test_kcore_empty_when_k_too_large(spark):
     g = Graph(edges_from_pairs(spark, GRAPH_MAIN), num_partitions=4)
     assert k_core(g, 5).state.count() == 0
+    g.unpersist()
+
+
+def _coreness_oracle(pairs):
+    """Classic min-degree peeling (Batagelj–Zaveršnik semantics)."""
+    adj = {v: set(n) for v, n in _adj(pairs).items()}
+    core = {}
+    k = 0
+    while adj:
+        k = max(k, min(len(n) for n in adj.values()))
+        drop = [v for v, n in adj.items() if len(n) <= k]
+        for v in drop:
+            core[v] = k
+            for w in adj[v]:
+                adj[w].discard(v)
+            del adj[v]
+    return core
+
+
+def test_coreness_matches_peeling_oracle(spark):
+    for pairs in (GRAPH_MAIN, GRAPH_MAIN_TRI):
+        g = Graph(edges_from_pairs(spark, pairs), num_partitions=4)
+        res = coreness(g)
+        assert res.converged
+        got = {r.id: r.coreness for r in res.state.collect()}
+        assert got == _coreness_oracle(pairs)
+        g.unpersist()
+
+
+def test_coreness_consistent_with_kcore(spark):
+    # {v : coreness(v) >= k} IS the k-core, for every k
+    g = Graph(edges_from_pairs(spark, GRAPH_MAIN_TRI), num_partitions=4)
+    core = {r.id: r.coreness for r in coreness(g).state.collect()}
+    for k in (1, 2, 3):
+        got = {r.id for r in k_core(g, k).state.collect()}
+        assert got == {v for v, c in core.items() if c >= k}, f"k={k}"
+    g.unpersist()
+
+
+def test_coreness_random_graph(spark):
+    import random
+
+    rnd = random.Random(7)
+    pairs = list({(rnd.randrange(40), rnd.randrange(40)) for _ in range(160)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    g = Graph(edges_from_pairs(spark, pairs), num_partitions=4)
+    res = coreness(g)
+    assert res.converged
+    got = {r.id: r.coreness for r in res.state.collect()}
+    assert got == _coreness_oracle(pairs)
     g.unpersist()
 
 
