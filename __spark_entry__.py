@@ -508,6 +508,72 @@ FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
 JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
 )
 
+EGO_RADIUS = 2
+
+_ASSORTATIVITY_SQL = (
+    "WITH " + _PART_CTE + """,
+s AS (
+  SELECT COUNT(*) AS m,
+         SUM(d1.deg * d2.deg) AS jk,
+         SUM(d1.deg + d2.deg) AS jpk,
+         SUM(d1.deg * d1.deg + d2.deg * d2.deg) AS j2k2
+  FROM sym JOIN deg d1 ON sym.src = d1.id JOIN deg d2 ON sym.dst = d2.id
+),
+t AS (SELECT jk * 1.0 / m AS num1, jpk / (2.0 * m) AS mean, j2k2 / (2.0 * m) AS den1 FROM s)
+SELECT ROUND((num1 - mean * mean) / (den1 - mean * mean), 9) AS assortativity FROM t"""
+)
+
+
+def _modularity_cc_sql(iters: int) -> str:
+    """Modularity Q of the connected-components partition on the bipartite
+    graph: reuse the unrolled hash-min CC label CTEs, then integer
+    intra/degree sums per community and the (exactly-ordered) double Q
+    expression. With components as communities there are no inter-community
+    edges, so Q = 1 − Σ(a_c/2m)² — still a full exercise of the operator."""
+    cc = _cc_sql(iters, _BIP_CTE)
+    head, _, final_select = cc.rpartition("\nSELECT id, lbl AS component")
+    assert head, "unexpected _cc_sql shape"
+    return (
+        head
+        + f""",
+lbl AS MATERIALIZED (SELECT id, lbl AS label FROM c{iters}),
+pe AS MATERIALIZED (
+  SELECT a.label AS cu, b.label AS cv
+  FROM sym JOIN lbl a ON sym.src = a.id JOIN lbl b ON sym.dst = b.id
+),
+m2 AS (SELECT COUNT(*) * 1.0 AS m2 FROM sym),
+agg AS (
+  SELECT cu AS c, COUNT(*) AS deg_sum,
+         SUM(CASE WHEN cu = cv THEN 1 ELSE 0 END) AS intra2
+  FROM pe GROUP BY cu
+)
+SELECT ROUND(SUM(intra2 / m2.m2 - (deg_sum / m2.m2) * (deg_sum / m2.m2)), 9)
+       AS modularity
+FROM agg, m2"""
+    )
+
+
+def _egonet_sql(center: int, radius: int) -> str:
+    ctes = [f"b0 AS MATERIALIZED (SELECT {center} AS id)"]
+    for d in range(1, radius + 1):
+        ctes.append(
+            f"""b{d} AS MATERIALIZED (
+  SELECT id FROM b{d-1}
+  UNION
+  SELECT sym.dst AS id FROM sym JOIN b{d-1} b ON sym.src = b.id
+)"""
+        )
+    return (
+        "WITH " + _BIP_CTE + ",\n" + ",\n".join(ctes)
+        + f"""
+SELECT sym.src AS u, sym.dst AS v
+FROM sym
+JOIN b{radius} x ON sym.src = x.id
+JOIN b{radius} y ON sym.dst = y.id
+WHERE sym.src < sym.dst"""
+    )
+
+
 # h-index iteration reaches the coreness fixpoint in 19 rounds on the sf0.01
 # parts graph; unrolled to 24 for margin (extra rounds are no-ops at the
 # fixpoint in both engines — H of a fixpoint assignment maps to itself)
@@ -1036,6 +1102,29 @@ def _q_topk_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(res.state, 25).select("id", F.round("value", 9).alias("score"))
 
 
+def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.algorithms.structure import degree_assortativity
+
+    return degree_assortativity(Graph(part_edges(spark, sf_dir)))
+
+
+def _q_modularity_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.algorithms.structure import modularity
+
+    g = Graph(bipartite_edges(spark, sf_dir))
+    labels = connected_components(g).state.select(
+        "id", F.col("component").alias("label")
+    )
+    return modularity(g, labels)
+
+
+def _q_egonet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.algorithms.structure import ego_network
+
+    g = Graph(bipartite_edges(spark, sf_dir))
+    return ego_network(g, center=SSSP_SOURCE, radius=EGO_RADIUS)
+
+
 def _q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkgraph.algorithms.kcore import coreness
 
@@ -1287,6 +1376,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_bipartite": _q_betweenness,
         "kcore_parts": _q_kcore_parts,
         "coreness_parts": _q_coreness,
+        "assortativity_parts": _q_assortativity,
+        "modularity_cc_bipartite": _q_modularity_cc,
+        "egonet_bipartite": _q_egonet,
         "linkpred_parts": _q_linkpred_parts,
         "clustering_parts": _q_clustering_parts,
         "hits_bipartite": _q_hits,
@@ -1339,6 +1431,9 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_bipartite": _betweenness_sql(BETW_PIVOTS, BETW_DEPTH),
         "kcore_parts": _kcore_sql(KCORE_K, KCORE_ITERS),
         "coreness_parts": _coreness_sql(CORENESS_ITERS),
+        "assortativity_parts": _ASSORTATIVITY_SQL,
+        "modularity_cc_bipartite": _modularity_cc_sql(CC_ITERS),
+        "egonet_bipartite": _egonet_sql(SSSP_SOURCE, EGO_RADIUS),
         "linkpred_parts": _LINKPRED_PARTS_SQL,
         "clustering_parts": _CLUSTERING_PARTS_SQL,
         "hits_bipartite": _hits_sql(HITS_ITERS),

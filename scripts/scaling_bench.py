@@ -103,15 +103,16 @@ def main() -> None:
         "high": high,
         "efficiency": {},
     }
-    for k in ("relational", "csr"):
+    for k in ("relational", "relational_lazy", "csr"):
         speedup = high[k]["edges_per_sec"] / low[k]["edges_per_sec"]
-        steady = high[k]["steady_edges_per_sec"] / low[k]["steady_edges_per_sec"]
         report["efficiency"][k] = {
             "speedup": round(speedup, 3),
             "scaling_efficiency": round(speedup / 4.0, 3),
-            "steady_speedup": round(steady, 3),
-            "steady_scaling_efficiency": round(steady / 4.0, 3),
         }
+        if "steady_edges_per_sec" in high[k] and "steady_edges_per_sec" in low[k]:
+            steady = high[k]["steady_edges_per_sec"] / low[k]["steady_edges_per_sec"]
+            report["efficiency"][k]["steady_speedup"] = round(steady, 3)
+            report["efficiency"][k]["steady_scaling_efficiency"] = round(steady / 4.0, 3)
     print(json.dumps(report))
 
 

@@ -102,3 +102,86 @@ def global_clustering_coefficient(graph: Graph) -> DataFrame:
     return graph.spark.createDataFrame(
         [(t, wedges, coeff)], "triangles long, wedges long, coefficient double"
     )
+
+
+def degree_assortativity(graph: Graph) -> DataFrame:
+    """Single row ``(assortativity,)`` — Newman (2002) degree-correlation
+    coefficient: the Pearson correlation of (deg u, deg v) over the directed
+    pairs of the simple symmetrized view (each undirected edge counted both
+    ways, the standard convention). All sums are integer-exact before the one
+    final double division, so results are bit-stable across engines."""
+    sym = _simple_sym(graph)
+    deg = sym.groupBy(F.col("u").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    pairs = (
+        sym.join(deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("du") * F.col("dv")).alias("jk"),
+        F.sum(F.col("du") + F.col("dv")).alias("jpk"),
+        F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv")).alias("j2k2"),
+    ).collect()[0]
+    m, jk, jpk, j2k2 = s["m"], s["jk"], s["jpk"], s["j2k2"]
+    mean = jpk / (2.0 * m)
+    num = jk / m - mean * mean
+    den = j2k2 / (2.0 * m) - mean * mean
+    r = round(num / den, 9) if den else 0.0
+    return graph.spark.createDataFrame([(r,)], "assortativity double")
+
+
+def ego_network(graph: Graph, center: int, radius: int = 2) -> DataFrame:
+    """Induced subgraph of the ≤radius BFS ball around ``center`` on the
+    simple graph: canonical ``(u, v)`` edge rows (u < v). The frontier loop is
+    the standard scatter (message volume O(frontier degree)); the induced-edge
+    join is two semi-joins against the ball."""
+    sym = _simple_sym(graph).persist()
+    ball = graph.spark.createDataFrame([(center,)], "id long")
+    frontier = ball
+    for _ in range(radius):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("id", "u"), "u")
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(ball, "id", "left_anti")
+        )
+        ball = ball.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    out = (
+        graph.simple_undirected()
+        .join(ball.withColumnRenamed("id", "u"), "u", "left_semi")
+        .join(ball.withColumnRenamed("id", "v"), "v", "left_semi")
+        .select("u", "v")
+    )
+    sym.unpersist()
+    return out
+
+
+def modularity(graph: Graph, labels: DataFrame) -> DataFrame:
+    """Single row ``(modularity,)`` — Newman modularity Q of a vertex
+    partition over the simple graph: Q = Σ_c [ e_c/m − (a_c/2m)² ] with e_c =
+    intra-community edges, a_c = total degree of c, m = edge count. ``labels``
+    is ``(id, label)`` (e.g. LPA or CC output). Integer sums, one final double
+    expression — engine-stable."""
+    sym = _simple_sym(graph)
+    lu = labels.select(F.col("id").alias("u"), F.col("label").alias("cu"))
+    lv = labels.select(F.col("id").alias("v"), F.col("label").alias("cv"))
+    per_edge = sym.join(lu, "u").join(lv, "v")
+    # per community: directed-intra count (2·e_c) and total degree a_c
+    intra = (
+        per_edge.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("c"))
+        .agg(F.count(F.lit(1)).alias("intra2"))
+    )
+    a = per_edge.groupBy(F.col("cu").alias("c")).agg(F.count(F.lit(1)).alias("deg_sum"))
+    m2 = sym.count()  # = 2m
+    frac = F.col("deg_sum") / F.lit(float(m2))
+    row = (
+        a.join(intra, "c", "left")
+        .select(
+            # frac*frac, not pow(frac, 2): bit-identical across engines
+            (F.coalesce("intra2", F.lit(0)) / F.lit(float(m2)) - frac * frac).alias("q")
+        )
+        .agg(F.round(F.sum("q"), 9).alias("modularity"))
+    )
+    return row

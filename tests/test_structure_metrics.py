@@ -1,0 +1,106 @@
+"""Assortativity, ego network, modularity vs pure-Python oracles."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict, deque
+
+from pyspark.sql import functions as F
+
+from sparkgraph.algorithms.structure import (
+    degree_assortativity,
+    ego_network,
+    modularity,
+)
+from sparkgraph.graph import Graph
+from sparkgraph.io.edgelist import edges_from_pairs
+
+from tests.fixtures import GRAPH_MAIN, GRAPH_MAIN_TRI
+from tests.oracles import components_oracle
+
+
+def _adj(pairs):
+    adj = defaultdict(set)
+    for s, d in pairs:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    return adj
+
+
+def _assortativity_oracle(pairs):
+    adj = _adj(pairs)
+    deg = {v: len(n) for v, n in adj.items()}
+    du = [deg[u] for u, ns in adj.items() for _ in ns]
+    dv = [deg[w] for u, ns in adj.items() for w in ns]
+    m = len(du)
+    mean = (sum(du) + sum(dv)) / (2.0 * m)
+    num = sum(a * b for a, b in zip(du, dv)) / m - mean * mean
+    den = (sum(a * a for a in du) + sum(b * b for b in dv)) / (2.0 * m) - mean * mean
+    return num / den
+
+
+def _ego_oracle(pairs, center, radius):
+    adj = _adj(pairs)
+    dist = {center: 0}
+    q = deque([center])
+    while q:
+        u = q.popleft()
+        if dist[u] == radius:
+            continue
+        for w in adj[u]:
+            if w not in dist:
+                dist[w] = dist[u] + 1
+                q.append(w)
+    ball = set(dist)
+    return {
+        (min(u, v), max(u, v))
+        for u, ns in adj.items()
+        for v in ns
+        if u in ball and v in ball and u < v
+    }
+
+
+def _modularity_oracle(pairs, labels):
+    adj = _adj(pairs)
+    m2 = sum(len(n) for n in adj.values())
+    intra2 = defaultdict(int)
+    degsum = defaultdict(int)
+    for u, ns in adj.items():
+        for v in ns:
+            degsum[labels[u]] += 1
+            if labels[u] == labels[v]:
+                intra2[labels[u]] += 1
+    return sum(
+        intra2[c] / m2 - (degsum[c] / m2) ** 2 for c in degsum
+    )
+
+
+def test_assortativity_matches_oracle(spark):
+    for pairs in (GRAPH_MAIN, GRAPH_MAIN_TRI):
+        g = Graph(edges_from_pairs(spark, pairs), num_partitions=4)
+        got = degree_assortativity(g).collect()[0]["assortativity"]
+        # engine rounds to 9 dp, so compare with a matching absolute tolerance
+        assert math.isclose(got, _assortativity_oracle(pairs), abs_tol=1e-9)
+        g.unpersist()
+
+
+def test_ego_network_matches_bfs_ball(spark):
+    g = Graph(edges_from_pairs(spark, GRAPH_MAIN), num_partitions=4)
+    for center, radius in [(1, 1), (1, 2), (3, 2), (12, 1), (100, 3)]:
+        got = {(r.u, r.v) for r in ego_network(g, center, radius).collect()}
+        assert got == _ego_oracle(GRAPH_MAIN, center, radius), (center, radius)
+    g.unpersist()
+
+
+def test_modularity_of_components_matches_oracle(spark):
+    # components as the partition: no inter-community edges, Q = 1 - Σ(a_c/2m)²
+    g = Graph(edges_from_pairs(spark, GRAPH_MAIN), num_partitions=4)
+    comp = components_oracle(GRAPH_MAIN)
+    labels = spark.createDataFrame(list(comp.items()), "id long, label long")
+    got = modularity(g, labels).collect()[0]["modularity"]
+    assert math.isclose(got, _modularity_oracle(GRAPH_MAIN, comp), rel_tol=1e-8)
+    # degenerate partition: everything in one community -> Q = 0
+    one = labels.select("id", F.lit(0).alias("label"))
+    assert abs(modularity(g, one).collect()[0]["modularity"]) < 1e-12
+    g.unpersist()
