@@ -46,6 +46,7 @@ def pagerank(
     reset_to: int | None = None,
     weighted: bool = False,
     eager_checkpoint: bool | None = None,
+    initial_state: DataFrame | None = None,
 ) -> PregelResult:
     """Returns state ``(id, value)``; ``result.metrics`` carries per-superstep
     wall time and (in convergence mode) the max-abs delta.
@@ -70,7 +71,14 @@ def pagerank(
     amortizing per-job scheduling/AQE-planning fixed cost (NB: per-superstep
     ``metrics.seconds`` then measure plan construction, not execution).
     Convergence mode is always effectively eager (the delta collect runs the
-    superstep); pass True to force eager jobs for per-superstep timing."""
+    superstep); pass True to force eager jobs for per-superstep timing.
+
+    ``initial_state``: optional ``(id, value)`` warm start (convergence
+    mode) — e.g. the previous scores of an incrementally growing graph. The
+    damped iteration converges to the same fixpoint from any start, so this
+    trades no correctness for far fewer supersteps when the graph changed
+    little. Vertices absent from it start at the cold init; stale ids are
+    dropped."""
     if mode not in ("reference", "convergence"):
         raise ValueError(f"unknown mode {mode!r}")
     if eager_checkpoint is None:
@@ -107,10 +115,17 @@ def pagerank(
             if weighted
             else graph.degrees
         )
+        base = graph.vertices.join(deg_src, "id")
+        if initial_state is not None:
+            warm = initial_state.select("id", F.col("value").alias("warm"))
+            base = base.join(warm, "id", "left")
+            value_col = F.coalesce("warm", F.lit(init_value))
+        else:
+            value_col = F.lit(init_value)
         state = truncate_lineage(
-            graph.vertices.join(deg_src, "id").select(
+            base.select(
                 "id", F.col("deg").cast("double").alias("deg"),
-                F.lit(init_value).alias("value"),
+                value_col.alias("value"),
             )
         )
 

@@ -147,6 +147,62 @@ def ewma_per_user(
     )
 
 
+def streaming_pagerank(
+    edges: DataFrame,
+    work_dir: str,
+    tol: float = 1e-6,
+    damping: float = 0.85,
+    max_iter: int = 200,
+):
+    """Incremental PageRank over an unbounded edge stream: each micro-batch
+    appends its edges to the accumulated parquet edge table, recomputes
+    convergence-mode PageRank on the FULL graph warm-started from the
+    previous batch's scores, and atomically publishes ``<work_dir>/scores``.
+
+    The warm start is the incremental part: the damped iteration converges to
+    the same fixpoint from any start vector, so when a micro-batch perturbs
+    the graph slightly, convergence takes a handful of supersteps instead of
+    a cold run's dozens (tests assert both the equivalence and the superstep
+    saving). History per batch lands in ``query.history`` on the returned
+    handle: (batch_id, supersteps, n_vertices).
+
+    Exactly-once: edge appends are idempotent per micro-batch only if the
+    stream's checkpointLocation is set (Spark replays failed batches) — pass
+    one via ``.option("checkpointLocation", ...)`` when starting a durable
+    run; tests use availableNow + fresh dirs.
+    """
+    import os
+
+    from sparkgraph.algorithms import pagerank
+    from sparkgraph.graph import Graph
+
+    edges_dir = os.path.join(work_dir, "edges")
+    scores_dir = os.path.join(work_dir, "scores")
+    history: list[dict] = []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.select("src", "dst", "weight").write.mode("append").parquet(edges_dir)
+        g = Graph(spark.read.parquet(edges_dir))
+        warm = None
+        if history:  # previous batch published scores
+            warm = spark.read.parquet(scores_dir)
+        res = pagerank(
+            g, mode="convergence", tol=tol, damping=damping, max_iter=max_iter,
+            initial_state=warm,
+        )
+        out = res.state.select("id", "value")
+        out.write.mode("overwrite").parquet(scores_dir)
+        history.append(
+            {"batch_id": batch_id, "supersteps": res.supersteps,
+             "n_vertices": g.num_vertices}
+        )
+
+    q = edges.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+    q.history = history  # type: ignore[attr-defined]
+    return q
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "update"
 ) -> DataFrame:
