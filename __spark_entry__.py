@@ -509,6 +509,16 @@ JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
 )
 
 EGO_RADIUS = 2
+PROJ_MIN_WEIGHT = 2
+PROJ_CAP = 10_000
+
+_PROJECTION_SQL = f"""
+WITH m AS (SELECT DISTINCT l_orderkey AS k, l_suppkey AS x FROM lineitem),
+ok AS (SELECT k FROM m GROUP BY k HAVING COUNT(*) <= {PROJ_CAP}),
+mm AS (SELECT m.k, m.x FROM m JOIN ok ON m.k = ok.k)
+SELECT a.x AS src, b.x AS dst, CAST(COUNT(*) AS DOUBLE) AS weight
+FROM mm a JOIN mm b ON a.k = b.k AND a.x < b.x
+GROUP BY a.x, b.x HAVING COUNT(*) >= {PROJ_MIN_WEIGHT}"""
 
 _ASSORTATIVITY_SQL = (
     "WITH " + _PART_CTE + """,
@@ -1102,6 +1112,18 @@ def _q_topk_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(res.state, 25).select("id", F.round("value", 9).alias("score"))
 
 
+def _q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.graph import project_bipartite
+
+    biparts = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    return project_bipartite(
+        biparts, on="dst", via="src",
+        min_weight=PROJ_MIN_WEIGHT, max_group_size=PROJ_CAP,
+    )
+
+
 def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkgraph.algorithms.structure import degree_assortativity
 
@@ -1376,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_bipartite": _q_betweenness,
         "kcore_parts": _q_kcore_parts,
         "coreness_parts": _q_coreness,
+        "projection_suppliers": _q_projection,
         "assortativity_parts": _q_assortativity,
         "modularity_cc_bipartite": _q_modularity_cc,
         "egonet_bipartite": _q_egonet,
@@ -1431,6 +1454,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_bipartite": _betweenness_sql(BETW_PIVOTS, BETW_DEPTH),
         "kcore_parts": _kcore_sql(KCORE_K, KCORE_ITERS),
         "coreness_parts": _coreness_sql(CORENESS_ITERS),
+        "projection_suppliers": _PROJECTION_SQL,
         "assortativity_parts": _ASSORTATIVITY_SQL,
         "modularity_cc_bipartite": _modularity_cc_sql(CC_ITERS),
         "egonet_bipartite": _egonet_sql(SSSP_SOURCE, EGO_RADIUS),

@@ -133,3 +133,37 @@ class Graph:
         for df in (self._edges_sym, self._vertices, self._degrees):
             if df is not None:
                 df.unpersist()
+
+
+def project_bipartite(
+    edges: DataFrame,
+    on: str = "dst",
+    via: str = "src",
+    min_weight: int = 1,
+    max_group_size: int = 10_000,
+) -> DataFrame:
+    """One-mode projection of a bipartite edge table: nodes of the ``on``
+    side become vertices, connected (u < v, weighted) by how many ``via``
+    nodes they co-occur under — the standard construction of co-occurrence
+    link graphs (co-order suppliers, co-commit files, co-citation papers).
+
+    Returns ``(src, dst, weight)`` with weight = co-occurrence count,
+    ``weight ≥ min_weight``. The self-join is quadratic per via-group, so
+    via-nodes touching more than ``max_group_size`` on-nodes are dropped —
+    the same explicit skew cap as the co-change derivation (a via-hub of
+    degree d alone yields d²/2 pairs)."""
+    m = edges.select(F.col(via).alias("k"), F.col(on).alias("x")).distinct()
+    sized = m.groupBy("k").agg(F.count(F.lit(1)).alias("nx"))
+    ok = m.join(
+        sized.filter(F.col("nx") <= max_group_size).select("k"), "k", "left_semi"
+    )
+    a = ok.select("k", F.col("x").alias("src"))
+    b = ok.select("k", F.col("x").alias("dst"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .filter(F.col("weight") >= min_weight)
+        .select("src", "dst", F.col("weight").cast("double").alias("weight"))
+    )

@@ -76,6 +76,32 @@ def _modularity_oracle(pairs, labels):
     )
 
 
+def test_bipartite_projection_matches_oracle(spark):
+    from sparkgraph.graph import project_bipartite
+
+    # orders 0..5 x suppliers: supplier s is in order k iff (s + k) % 3 == 0
+    rows = [(k, s) for k in range(6) for s in range(9) if (s + k) % 3 == 0]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        (r.src, r.dst): r.weight
+        for r in project_bipartite(edges, min_weight=2).collect()
+    }
+    co = defaultdict(int)
+    by_k = defaultdict(set)
+    for k, s in rows:
+        by_k[k].add(s)
+    for members in by_k.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1:]:
+                co[(a, b)] += 1
+    want = {p: float(w) for p, w in co.items() if w >= 2}
+    assert got == want
+    # cap drops mega-groups entirely
+    capped = project_bipartite(edges, min_weight=1, max_group_size=2).count()
+    assert capped == 0  # every order here touches 3 suppliers > cap
+
+
 def test_assortativity_matches_oracle(spark):
     for pairs in (GRAPH_MAIN, GRAPH_MAIN_TRI):
         g = Graph(edges_from_pairs(spark, pairs), num_partitions=4)
