@@ -29,6 +29,15 @@ def test_reference_mode_matches_oracle(spark, pairs):
     assert res.supersteps == 30
 
 
+def test_lazy_and_eager_checkpoints_agree_exactly(spark):
+    # the lazy one-job mode is a scheduling change only — values bit-equal
+    lazy, _ = _run(spark, GRAPH_MAIN, mode="reference", iterations=15)
+    eager, _ = _run(
+        spark, GRAPH_MAIN, mode="reference", iterations=15, eager_checkpoint=True
+    )
+    assert lazy == eager
+
+
 def test_convergence_mode(spark):
     got, res = _run(spark, GRAPH_MAIN, mode="convergence", tol=1e-9)
     want = pagerank_oracle(GRAPH_MAIN, init="uniform", tol=1e-9)
