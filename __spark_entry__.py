@@ -689,6 +689,49 @@ def _walks_sql(walk_len: int) -> str:
     return _walks_cte(walk_len) + "\nSELECT walk_id, step, vertex FROM trace"
 
 
+def _weighted_walks_sql(walk_len: int) -> str:
+    """Closed-form twin of weighted_random_walks: symmetric integer weight
+    w = 1 + (src+dst) mod 3 (the weighted-SSSP gate's trick), slot-expanded
+    adjacency, affine pick mod weighted degree, unrolled hops."""
+    from sparkgraph.algorithms.walks import AFFINE_MOD, AFFINE_S, AFFINE_V, AFFINE_W
+
+    prefix = (
+        _BIP_CTE
+        + """,
+wp AS MATERIALIZED (SELECT src, dst, 1 + (src + dst) % 3 AS w FROM (SELECT DISTINCT src, dst FROM sym)),
+cumt AS MATERIALIZED (
+  SELECT src, dst, w,
+         CAST(SUM(w) OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS cum,
+         CAST(SUM(w) OVER (PARTITION BY src) AS BIGINT) AS wdeg
+  FROM wp
+),
+wd AS MATERIALIZED (SELECT DISTINCT src AS id, wdeg FROM cumt),
+adj AS MATERIALIZED (
+  SELECT c.src, UNNEST(generate_series(c.cum - c.w, c.cum - 1)) AS idx, c.dst
+  FROM cumt c
+),
+w0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur FROM verts)"""
+    )
+    ctes = []
+    for s in range(1, walk_len + 1):
+        mix = (
+            f"((w.cur*{AFFINE_V} + w.walk_id*{AFFINE_W} + {s * AFFINE_S}) "
+            f"% {AFFINE_MOD}) % d.wdeg"
+        )
+        ctes.append(
+            f"""w{s} AS MATERIALIZED (
+  SELECT w.walk_id, a.dst AS cur
+  FROM w{s-1} w JOIN wd d ON w.cur = d.id
+  JOIN adj a ON a.src = w.cur AND a.idx = {mix}
+)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT walk_id, {s} AS step, cur AS vertex FROM w{s}"
+        for s in range(walk_len + 1)
+    )
+    return "WITH " + prefix + ",\n" + ",\n".join(ctes) + "\n" + union
+
+
 def _skipgram_sql(walk_len: int, window: int) -> str:
     return (
         _walks_cte(walk_len)
@@ -1171,6 +1214,15 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(g, WALK_LEN, mixer="affine")
 
 
+def _q_weighted_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.algorithms.walks import weighted_random_walks
+
+    e = bipartite_edges(spark, sf_dir).select(
+        "src", "dst", (1 + (F.col("src") + F.col("dst")) % 3).cast("double").alias("weight")
+    )
+    return weighted_random_walks(Graph(e), WALK_LEN, mixer="affine")
+
+
 def _q_walk_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkgraph.algorithms import random_walks, skipgram_pairs
 
@@ -1392,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_bipartite": _q_closeness,
         "random_walks_bipartite": _q_random_walks,
         "walk_skipgram_bipartite": _q_walk_skipgram,
+        "weighted_walks_bipartite": _q_weighted_walks,
         "codegraph_import_edges": _q_codegraph_imports,
         "codegraph_cochange_edges": _q_codegraph_cochange,
         "codegraph_pagerank": _q_codegraph_pagerank,
@@ -1448,6 +1501,7 @@ def oracle_sql() -> dict[str, str]:
         "closeness_bipartite": _closeness_sql(BETW_PIVOTS, BETW_DEPTH),
         "random_walks_bipartite": _walks_sql(WALK_LEN),
         "walk_skipgram_bipartite": _skipgram_sql(WALK_LEN, WALK_WINDOW),
+        "weighted_walks_bipartite": _weighted_walks_sql(WALK_LEN),
         "codegraph_import_edges": _CG_IMPORTS_SQL,
         "codegraph_cochange_edges": _CG_COCHANGE_SQL,
         "codegraph_pagerank": _codegraph_pagerank_sql(CG_PR_ITERS),

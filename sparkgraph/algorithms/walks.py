@@ -126,6 +126,85 @@ def random_walks(
     return out
 
 
+def weighted_random_walks(
+    graph: Graph,
+    walk_len: int,
+    mixer: str = "xxhash",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Edge-weight-proportional random walks for INTEGER-weighted graphs
+    (e.g. co-change counts): each undirected pair's weight w (parallel edges
+    summed) expands into w adjacency SLOTS, so a uniform pick over
+    ``mix mod wdeg(v)`` is an exact weight-proportional neighbor choice that
+    still runs as ONE perfectly-selective equi-join per hop — the hub-safe
+    shape of ``random_walks``, paid for with a Σw-row adjacency (expansion
+    factor = mean weight; for large/fractional weights quantize first, or
+    use an alias table — documented envelope, not a silent cast).
+
+    Returns ``(walk_id, step, vertex)``; raises if any weight < 1 or has a
+    fractional part."""
+    e = graph.edges.select("src", "dst", "weight").filter(F.col("src") != F.col("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    # canonical per-(src,dst) integer weight: parallel edges summed
+    pairs = sym.groupBy("src", "dst").agg(F.sum("weight").alias("w"))
+    bad = pairs.filter(
+        (F.col("w") < 1) | (F.col("w") != F.floor(F.col("w")))
+    ).count()
+    if bad:
+        raise ValueError(
+            f"weighted_random_walks needs integer weights >= 1 ({bad} bad pairs)"
+        )
+    pairs = pairs.select("src", "dst", F.col("w").cast("long").alias("w"))
+
+    w_spec = Window.partitionBy("src")
+    cum = pairs.select(
+        "src",
+        "dst",
+        "w",
+        F.sum("w").over(w_spec.orderBy("dst")).alias("cum"),
+        F.sum("w").over(w_spec).alias("wdeg"),
+    )
+    ddeg = cum.select(F.col("src").alias("dst"), "wdeg").distinct().withColumnRenamed(
+        "wdeg", "ddeg"
+    )
+    adj = (
+        cum.join(ddeg, "dst")
+        .select(
+            F.col("src").alias("a_src"),
+            F.explode(F.sequence(F.col("cum") - F.col("w"), F.col("cum") - 1)).alias(
+                "a_idx"
+            ),
+            F.col("dst").alias("a_dst"),
+            F.col("ddeg").alias("a_ddeg"),
+        )
+        .repartition(graph.num_partitions, "a_src", "a_idx")
+        .persist()
+    )
+
+    start = cum.select(F.col("src").alias("vertex"), F.col("wdeg").alias("deg")).distinct()
+    cur = start.select(F.col("vertex").alias("walk_id"), "vertex", "deg")
+    levels = [cur.select("walk_id", F.lit(0).alias("step"), "vertex")]
+    for s in range(1, walk_len + 1):
+        picked = cur.select(
+            "walk_id",
+            F.col("vertex").alias("a_src"),
+            _mix(mixer, F.col("walk_id"), s, F.col("vertex"), F.col("deg")).alias("a_idx"),
+        )
+        cur = picked.hint("shuffle_hash").join(adj, ["a_src", "a_idx"]).select(
+            "walk_id", F.col("a_dst").alias("vertex"), F.col("a_ddeg").alias("deg")
+        )
+        if s % checkpoint_every == 0:
+            cur = truncate_lineage(cur)
+        levels.append(cur.select("walk_id", F.lit(s).alias("step"), "vertex"))
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
 def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     """Walk trace → (center, context, n_cooc): co-occurrence counts of vertex
     pairs within ±window steps on the same walk (both directions, the

@@ -95,6 +95,58 @@ def test_xxhash_walks_are_valid_and_partitioning_independent(spark):
             assert steps[s] in adj[steps[s - 1]]  # every hop is a real edge
 
 
+def test_weighted_walks_match_python_oracle(spark):
+    from sparkgraph.algorithms.walks import weighted_random_walks
+
+    walk_len = 6
+    wpairs = [(s, d, float(1 + (s + d) % 3)) for s, d in GRAPH_MAIN]
+    g = Graph(spark.createDataFrame(wpairs, "src long, dst long, weight double"))
+    got = sorted(
+        (r.walk_id, r.step, r.vertex)
+        for r in weighted_random_walks(g, walk_len, mixer="affine").collect()
+    )
+
+    # python replay: per vertex, neighbors sorted by dst, w slots each
+    slots: dict[int, list[int]] = {}
+    w_of: dict[tuple[int, int], int] = {}
+    for s, d, w in wpairs:
+        w_of[(s, d)] = w_of.get((s, d), 0) + int(w)
+        w_of[(d, s)] = w_of.get((d, s), 0) + int(w)
+    verts = sorted({v for e in GRAPH_MAIN for v in e})
+    for v in verts:
+        ns = sorted(d for (u, d) in w_of if u == v)
+        slots[v] = [d for d in ns for _ in range(w_of[(v, d)])]
+    trace = []
+    for start in verts:
+        cur = start
+        trace.append((start, 0, cur))
+        for s in range(1, walk_len + 1):
+            sl = slots[cur]
+            cur = sl[_affine(start, s, cur) % len(sl)]
+            trace.append((start, s, cur))
+    assert got == sorted(trace)
+
+    # degenerate weights reduce exactly to the unweighted walk
+    g1 = _graph(spark, GRAPH_MAIN)
+    uw = sorted(
+        (r.walk_id, r.step, r.vertex)
+        for r in weighted_random_walks(g1, walk_len, mixer="affine").collect()
+    )
+    assert uw == _walks_oracle(GRAPH_MAIN, walk_len, _affine)
+
+
+def test_weighted_walks_reject_fractional_weights(spark):
+    import pytest
+
+    from sparkgraph.algorithms.walks import weighted_random_walks
+
+    g = Graph(
+        spark.createDataFrame([(1, 2, 0.5)], "src long, dst long, weight double")
+    )
+    with pytest.raises(ValueError, match="integer weights"):
+        weighted_random_walks(g, 2)
+
+
 def test_skipgram_pairs_match_trace_recount(spark):
     walk_len, window = 6, 2
     walks = random_walks(_graph(spark, GRAPH_MAIN), walk_len, mixer="affine")
