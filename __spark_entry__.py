@@ -1144,6 +1144,12 @@ def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Graph(bipartite_edges(spark, sf_dir)).degrees
 
 
+def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the 1-pass summary every ingest job runs first: how skewed is this graph
+    g = Graph(bipartite_edges(spark, sf_dir))
+    return g.degrees.groupBy("deg").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
 def _q_num_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = Graph(bipartite_edges(spark, sf_dir))
     return g.vertices.agg(F.count(F.lit(1)).alias("n_vertices"))
@@ -1460,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_bipartite": _q_hits,
         "ppr_bipartite": _q_ppr,
         "degrees_bipartite": _q_degrees,
+        "degree_histogram_bipartite": _q_degree_histogram,
         "num_vertices_bipartite": _q_num_vertices,
         "top25_pagerank_bipartite": _q_topk_pagerank,
         "ingest_sha_documents": _q_ingest_sha,
@@ -1517,6 +1524,8 @@ def oracle_sql() -> dict[str, str]:
         "hits_bipartite": _hits_sql(HITS_ITERS),
         "ppr_bipartite": _ppr_sql(PR_ITERS, PPR_SOURCE),
         "degrees_bipartite": "WITH " + _BIP_CTE + "\nSELECT id, deg FROM deg",
+        "degree_histogram_bipartite": "WITH " + _BIP_CTE
+        + "\nSELECT deg, COUNT(*) AS n_vertices FROM deg GROUP BY deg",
         "num_vertices_bipartite": "WITH " + _BIP_CTE
         + "\nSELECT COUNT(*) AS n_vertices FROM verts",
         "top25_pagerank_bipartite": _pagerank_sql(PR_ITERS).replace(
