@@ -25,8 +25,16 @@ def connected_components(
     max_iter: int = 10_000,
     checkpointer: Checkpointer | None = None,
     resume: bool = False,
+    initial_labels=None,
 ) -> PregelResult:
-    """Returns state ``(id, component: long)`` — component = min id reachable."""
+    """Returns state ``(id, component: long)`` — component = min id reachable.
+
+    ``initial_labels``: optional ``(id, component)`` warm start for an
+    incrementally growing graph (the previous run's labels). Correct because
+    hash-min converges to the min over initial labels within each component,
+    and an old component's label is a real vertex id inside the (now larger)
+    component — new edges only ever merge. New vertices start at their own
+    id; stale ids are dropped."""
     spark = graph.spark
     edges = graph.edges_sym
     loop = SuperstepLoop("connected_components", {}, checkpointer, resume)
@@ -37,11 +45,15 @@ def connected_components(
         state = truncate_lineage(state.select("id", "component", "changed"))
     else:
         start_step = 0
-        state = truncate_lineage(
-            graph.vertices.select(
-                "id", F.col("id").alias("component"), F.lit(True).alias("changed")
+        base = graph.vertices
+        if initial_labels is not None:
+            warm = initial_labels.select("id", F.col("component").alias("warm"))
+            base = base.join(warm, "id", "left").select(
+                "id", F.coalesce("warm", F.col("id")).alias("component")
             )
-        )
+        else:
+            base = base.select("id", F.col("id").alias("component"))
+        state = truncate_lineage(base.withColumn("changed", F.lit(True)))
 
     step = start_step
     converged = False

@@ -203,6 +203,38 @@ def streaming_pagerank(
     return q
 
 
+def streaming_connected_components(edges: DataFrame, work_dir: str, max_iter: int = 10_000):
+    """Incremental connected components over an edge stream: per micro-batch,
+    append edges, re-run hash-min CC warm-started from the previous labels
+    (new edges only merge components, and an old label is a valid id inside
+    its grown component — see connected_components docstring), publish
+    ``<work_dir>/labels``. Same handle contract as streaming_pagerank."""
+    import os
+
+    from sparkgraph.algorithms import connected_components
+    from sparkgraph.graph import Graph
+
+    edges_dir = os.path.join(work_dir, "edges")
+    labels_dir = os.path.join(work_dir, "labels")
+    history: list[dict] = []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.select("src", "dst", "weight").write.mode("append").parquet(edges_dir)
+        g = Graph(spark.read.parquet(edges_dir))
+        warm = spark.read.parquet(labels_dir) if history else None
+        res = connected_components(g, max_iter=max_iter, initial_labels=warm)
+        res.state.select("id", "component").write.mode("overwrite").parquet(labels_dir)
+        history.append(
+            {"batch_id": batch_id, "supersteps": res.supersteps,
+             "n_vertices": g.num_vertices}
+        )
+
+    q = edges.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+    q.history = history  # type: ignore[attr-defined]
+    return q
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "update"
 ) -> DataFrame:

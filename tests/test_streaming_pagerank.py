@@ -36,6 +36,41 @@ def test_warm_start_converges_fast_and_agrees(spark):
     g.unpersist()
 
 
+def test_warm_start_cc_agrees_with_cold(spark):
+    from sparkgraph.algorithms import connected_components
+
+    g1 = Graph(edges_from_pairs(spark, BATCH1), num_partitions=4)
+    labels1 = connected_components(g1).state.select("id", "component")
+    g = Graph(edges_from_pairs(spark, GRAPH_MAIN), num_partitions=4)
+    warm = connected_components(g, initial_labels=labels1)
+    cold = connected_components(g)
+    got = {r.id: r.component for r in warm.state.collect()}
+    want = {r.id: r.component for r in cold.state.collect()}
+    assert got == want
+    g1.unpersist()
+    g.unpersist()
+
+
+def test_streaming_cc_incremental(spark, tmp_path):
+    from sparkgraph.streaming import streaming_connected_components
+    from sparkgraph.algorithms import connected_components
+
+    src_dir = tmp_path / "cc_in"
+    src_dir.mkdir()
+    work = str(tmp_path / "cc_work")
+    _write_edges(src_dir / "part1.txt", BATCH1)
+    q1 = streaming_connected_components(stream_edges_from_files(spark, str(src_dir)), work)
+    q1.awaitTermination()
+    _write_edges(src_dir / "part2.txt", BATCH2)
+    q2 = streaming_connected_components(stream_edges_from_files(spark, str(src_dir)), work)
+    q2.awaitTermination()
+
+    final = {r.id: r.component for r in spark.read.parquet(f"{work}/labels").collect()}
+    acc = Graph(spark.read.parquet(f"{work}/edges"), num_partitions=4)
+    want = {r.id: r.component for r in connected_components(acc).state.collect()}
+    assert final == want
+
+
 def test_streaming_pagerank_incremental(spark, tmp_path):
     src_dir = tmp_path / "edges_in"
     src_dir.mkdir()
