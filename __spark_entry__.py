@@ -520,6 +520,25 @@ SELECT a.x AS src, b.x AS dst, CAST(COUNT(*) AS DOUBLE) AS weight
 FROM mm a JOIN mm b ON a.k = b.k AND a.x < b.x
 GROUP BY a.x, b.x HAVING COUNT(*) >= {PROJ_MIN_WEIGHT}"""
 
+_LOCAL_CLUSTERING_SQL = (
+    "WITH " + _SUPP_CTE + """,
+tri AS MATERIALIZED (
+  SELECT e1.src AS ta, e1.dst AS tb, e2.dst AS tc
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT ta AS id FROM tri UNION ALL SELECT tb FROM tri UNION ALL SELECT tc FROM tri
+),
+tc AS (SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id)
+SELECT d.id,
+       COALESCE(tc.triangles, 0) AS triangles,
+       CASE WHEN d.deg < 2 THEN 0.0
+            ELSE ROUND(COALESCE(tc.triangles, 0) / (d.deg * (d.deg - 1) / 2.0), 9)
+       END AS lcc
+FROM deg d LEFT JOIN tc ON d.id = tc.id"""
+)
+
 _ASSORTATIVITY_SQL = (
     "WITH " + _PART_CTE + """,
 s AS (
@@ -1161,6 +1180,12 @@ def _q_topk_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(res.state, 25).select("id", F.round("value", 9).alias("score"))
 
 
+def _q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.algorithms.structure import local_clustering
+
+    return local_clustering(Graph(supplier_edges(spark, sf_dir)))
+
+
 def _q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkgraph.graph import project_bipartite
 
@@ -1457,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_bipartite": _q_betweenness,
         "kcore_parts": _q_kcore_parts,
         "coreness_parts": _q_coreness,
+        "local_clustering_suppliers": _q_local_clustering,
         "projection_suppliers": _q_projection,
         "assortativity_parts": _q_assortativity,
         "modularity_cc_bipartite": _q_modularity_cc,
@@ -1515,6 +1541,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_bipartite": _betweenness_sql(BETW_PIVOTS, BETW_DEPTH),
         "kcore_parts": _kcore_sql(KCORE_K, KCORE_ITERS),
         "coreness_parts": _coreness_sql(CORENESS_ITERS),
+        "local_clustering_suppliers": _LOCAL_CLUSTERING_SQL,
         "projection_suppliers": _PROJECTION_SQL,
         "assortativity_parts": _ASSORTATIVITY_SQL,
         "modularity_cc_bipartite": _modularity_cc_sql(CC_ITERS),

@@ -104,6 +104,46 @@ def global_clustering_coefficient(graph: Graph) -> DataFrame:
     )
 
 
+def local_clustering(graph: Graph) -> DataFrame:
+    """Per-vertex local clustering coefficient ``(id, triangles, lcc)``:
+    lcc(v) = triangles(v) / C(deg v, 2), 0 when deg < 2.
+
+    Triangles are enumerated once each on the DEGREE-ORIENTED edge set
+    (oriented out-degree is O(√E), so the wedge join never explodes on hubs —
+    same plan discipline as triangle_count's intersect path), then every
+    triangle credits its three corners. Per-vertex counts are orientation-
+    independent, so the oracle can enumerate on the simpler canonical u<v
+    orientation and agree exactly."""
+    from sparkgraph.algorithms.triangles import oriented_edges
+
+    o = oriented_edges(graph)
+    ab = o.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
+    bc = o.select(F.col("a").alias("tb"), F.col("b").alias("tc"))
+    ac = o.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = ab.join(bc, "tb").join(ac, ["ta", "tc"])
+    corners = (
+        tri.select(F.col("ta").alias("id"))
+        .unionByName(tri.select(F.col("tb").alias("id")))
+        .unionByName(tri.select(F.col("tc").alias("id")))
+    )
+    tcount = corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+    sym = _simple_sym(graph)
+    deg = sym.groupBy(F.col("u").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    return deg.join(tcount, "id", "left").select(
+        "id",
+        F.coalesce("triangles", F.lit(0)).alias("triangles"),
+        F.when(
+            F.col("deg") < 2, F.lit(0.0)
+        ).otherwise(
+            F.round(
+                F.coalesce("triangles", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1) / 2.0),
+                9,
+            )
+        ).alias("lcc"),
+    )
+
+
 def degree_assortativity(graph: Graph) -> DataFrame:
     """Single row ``(assortativity,)`` — Newman (2002) degree-correlation
     coefficient: the Pearson correlation of (deg u, deg v) over the directed

@@ -119,6 +119,24 @@ def test_ego_network_matches_bfs_ball(spark):
     g.unpersist()
 
 
+def test_local_clustering_matches_bruteforce(spark):
+    from sparkgraph.algorithms.structure import local_clustering
+
+    import random
+
+    rnd = random.Random(11)
+    pairs = [(a, b) for a, b in {(rnd.randrange(25), rnd.randrange(25)) for _ in range(120)} if a != b]
+    g = Graph(edges_from_pairs(spark, pairs), num_partitions=4)
+    got = {r.id: (r.triangles, r.lcc) for r in local_clustering(g).collect()}
+    adj = _adj(pairs)
+    for v, ns in adj.items():
+        t = sum(1 for a in ns for b in ns if a < b and b in adj[a])
+        d = len(ns)
+        lcc = round(t / (d * (d - 1) / 2.0), 9) if d >= 2 else 0.0
+        assert got[v] == (t, lcc), v
+    g.unpersist()
+
+
 def test_modularity_of_components_matches_oracle(spark):
     # components as the partition: no inter-community edges, Q = 1 - Σ(a_c/2m)²
     g = Graph(edges_from_pairs(spark, GRAPH_MAIN), num_partitions=4)
