@@ -368,6 +368,33 @@ l{k} AS MATERIALIZED (
     )
 
 
+def _lpa_weighted_sql(iters: int, cte: str) -> str:
+    """Weighted-vote LPA: symmetric integer weight w = 1 + (src+dst) mod 3
+    (integer sums — exact in both engines), max-(votes, -label) winner."""
+    ctes = ["l0 AS MATERIALIZED (SELECT id, id AS lbl FROM verts)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""w{k} AS MATERIALIZED (
+  SELECT id, lbl FROM (
+    SELECT sym.dst AS id, p.lbl,
+           ROW_NUMBER() OVER (
+             PARTITION BY sym.dst
+             ORDER BY SUM(1 + (sym.src + sym.dst) % 3) DESC, p.lbl ASC) AS rn
+    FROM sym JOIN l{k-1} p ON sym.src = p.id
+    GROUP BY sym.dst, p.lbl
+  ) WHERE rn = 1
+),
+l{k} AS MATERIALIZED (
+  SELECT l.id, COALESCE(w.lbl, l.lbl) AS lbl
+  FROM l{k-1} l LEFT JOIN w{k} w ON l.id = w.id
+)"""
+        )
+    return (
+        "WITH " + cte + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT id, lbl AS label FROM l{iters}"
+    )
+
+
 def _ppr_sql(iters: int, source: int) -> str:
     tp = f"CASE WHEN t.id = {source} THEN 0.15 ELSE 0 END"
     ctes = [
@@ -1180,6 +1207,15 @@ def _q_topk_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(res.state, 25).select("id", F.round("value", 9).alias("score"))
 
 
+def _q_lpa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = bipartite_edges(spark, sf_dir).select(
+        "src", "dst",
+        (1 + (F.col("src") + F.col("dst")) % 3).cast("double").alias("weight"),
+    )
+    g = Graph(e)
+    return label_propagation(g, max_iter=LPA_ITERS, weighted=True).state
+
+
 def _q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkgraph.algorithms.structure import local_clustering
 
@@ -1466,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_bipartite": _q_cc,
         "lpa_suppliers": _q_lpa,
         "lpa_bipartite": _q_lpa_bipartite,
+        "lpa_weighted_bipartite": _q_lpa_weighted,
         "cc_suppliers": _q_cc_suppliers,
         "cc_star_bipartite": _q_cc_star,
         "sssp_csr_bipartite": _q_sssp_csr,
@@ -1525,6 +1562,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_bipartite": _cc_sql(CC_ITERS, _BIP_CTE),
         "lpa_suppliers": _lpa_sql(LPA_ITERS, _SUPP_CTE),
         "lpa_bipartite": _lpa_sql(LPA_ITERS, _BIP_CTE),
+        "lpa_weighted_bipartite": _lpa_weighted_sql(LPA_ITERS, _BIP_CTE),
         "cc_suppliers": _cc_sql(CC_ITERS, _SUPP_CTE),
         "cc_star_bipartite": _cc_sql(CC_ITERS, _BIP_CTE),
         "sssp_csr_bipartite": _sssp_sql(SSSP_ITERS, SSSP_SOURCE),

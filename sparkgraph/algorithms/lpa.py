@@ -29,8 +29,16 @@ def label_propagation(
     max_iter: int = 10,
     checkpointer: Checkpointer | None = None,
     resume: bool = False,
+    weighted: bool = False,
 ) -> PregelResult:
-    """Returns state ``(id, label: long)``."""
+    """Returns state ``(id, label: long)``.
+
+    ``weighted``: neighbors vote with their edge weight instead of
+    multiplicity (the natural semantics on a co-change/co-occurrence graph:
+    a pair that changed together 50 times should pull harder than one that
+    did once). Determinism note: weight sums compare exactly when weights
+    are integer-valued (exact in doubles); with arbitrary floats, near-tied
+    votes can flip on summation order — prefer integer-valued weights."""
     spark = graph.spark
     edges = graph.edges_sym
     loop = SuperstepLoop("label_propagation", {"max_iter": max_iter}, checkpointer, resume)
@@ -48,9 +56,10 @@ def label_propagation(
         loop.step_started()
         src_labels = state.select(F.col("id").alias("src"), "label")
         msgs = edges.join(src_labels.hint("shuffle_hash"), "src").select(
-            F.col("dst").alias("id"), "label"
+            F.col("dst").alias("id"), "label", "weight"
         )
-        counts = msgs.groupBy("id", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        vote = F.sum("weight") if weighted else F.count(F.lit(1))
+        counts = msgs.groupBy("id", "label").agg(vote.alias("cnt"))
         # Most frequent label, min-label tie-break: max of (cnt, -label).
         winners = counts.groupBy("id").agg(
             F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("w")

@@ -18,6 +18,49 @@ def test_lpa_matches_simulation(spark):
         g.unpersist()
 
 
+def test_weighted_lpa_matches_simulation(spark):
+    from collections import defaultdict
+
+    from tests.oracles import symmetrize
+
+    def weighted_oracle(pairs, wfn, max_iter=10):
+        sym = symmetrize(pairs)
+        adj = defaultdict(list)
+        for s, d in sym:
+            adj[s].append((d, wfn(s, d)))
+        nodes = sorted({v for e in sym for v in e})
+        label = {v: v for v in nodes}
+        for _ in range(max_iter):
+            new = {}
+            for v in nodes:
+                votes: dict[int, float] = defaultdict(float)
+                for u, w in adj[v]:
+                    votes[label[u]] += w
+                new[v] = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            if new == label:
+                break
+            label = new
+        return label
+
+    wfn = lambda s, d: float(1 + (s + d) % 3)  # noqa: E731 — symmetric weight
+    wpairs = [(s, d, wfn(s, d)) for s, d in GRAPH_MAIN]
+    g = Graph(spark.createDataFrame(wpairs, "src long, dst long, weight double"))
+    got = {
+        r.id: r.label
+        for r in label_propagation(g, max_iter=10, weighted=True).state.collect()
+    }
+    assert got == weighted_oracle(GRAPH_MAIN, wfn)
+    g.unpersist()
+    # unit weights reduce exactly to multiplicity voting
+    g1 = Graph(edges_from_pairs(spark, GRAPH_MAIN), num_partitions=4)
+    got1 = {
+        r.id: r.label
+        for r in label_propagation(g1, max_iter=10, weighted=True).state.collect()
+    }
+    assert got1 == lpa_oracle(GRAPH_MAIN, max_iter=10)
+    g1.unpersist()
+
+
 def test_lpa_deterministic_across_partitionings(spark):
     outs = []
     for p in (1, 4):
