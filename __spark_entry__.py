@@ -233,6 +233,25 @@ BETW_PIVOTS = 4
 BETW_DEPTH = 8  # ≥ bipartite BFS depth from the pivots (5 at sf0.01)
 
 
+def _sssp_parents_sql(iters: int, source: int) -> str:
+    """Distances via the standard unroll, then the unit-weight BFS-tree
+    parent: MIN(src) among neighbors exactly one layer closer (NULL at the
+    source — no layer −1 exists)."""
+    base = _sssp_sql(iters, source)
+    head, _, _ = base.rpartition("\nSELECT")
+    assert head, "unexpected _sssp_sql shape"
+    return (
+        head
+        + f""",
+dd AS MATERIALIZED (SELECT id, dist FROM d{iters} WHERE dist IS NOT NULL)
+SELECT v.id, CAST(v.dist AS BIGINT) AS dist, MIN(p.id) AS parent
+FROM dd v
+LEFT JOIN sym ON sym.dst = v.id
+LEFT JOIN dd p ON p.id = sym.src AND p.dist = v.dist - 1
+GROUP BY v.id, v.dist"""
+    )
+
+
 def _betweenness_sql(k: int, depth: int) -> str:
     """Unrolled sampled-Brandes: forward BFS levels with path counts, tree
     edges, backward dependency accumulation — pivots = k smallest ids
@@ -1057,6 +1076,17 @@ def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sssp_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shortest-path TREE: on unit weights the deterministic parent is the
+    # smallest-id neighbor one BFS layer closer (oracle recomputes it from
+    # the distance table directly)
+    g = Graph(bipartite_edges(spark, sf_dir))
+    res = sssp(g, source=SSSP_SOURCE, max_iter=SSSP_ITERS, track_parents=True)
+    return res.state.filter(F.col("dist") != float("inf")).select(
+        "id", F.col("dist").cast("long").alias("dist"), "parent"
+    )
+
+
 def _weighted_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bipartite_edges(spark, sf_dir).withColumn(
         "weight", (1 + (F.col("src") + F.col("dst")) % 3).cast("double")
@@ -1498,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_csr_bipartite": _q_pagerank_csr,
         "salted_degrees_bipartite": _q_salted_degrees,
         "sssp_bipartite": _q_sssp,
+        "sssp_parents_bipartite": _q_sssp_parents,
         "sssp_weighted_bipartite": _q_sssp_weighted,
         "cc_bipartite": _q_cc,
         "lpa_suppliers": _q_lpa,
@@ -1558,6 +1589,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_degrees_bipartite": "WITH " + _BIP_CTE
         + "\nSELECT id, CAST(deg AS DOUBLE) AS deg_sum FROM deg",
         "sssp_bipartite": _sssp_sql(SSSP_ITERS, SSSP_SOURCE),
+        "sssp_parents_bipartite": _sssp_parents_sql(SSSP_ITERS, SSSP_SOURCE),
         "sssp_weighted_bipartite": _sssp_weighted_sql(WSSSP_ITERS, SSSP_SOURCE),
         "cc_bipartite": _cc_sql(CC_ITERS, _BIP_CTE),
         "lpa_suppliers": _lpa_sql(LPA_ITERS, _SUPP_CTE),

@@ -32,25 +32,34 @@ def sssp(
     max_iter: int = 10_000,
     checkpointer: Checkpointer | None = None,
     resume: bool = False,
+    track_parents: bool = False,
 ) -> PregelResult:
-    """Returns state ``(id, dist: double)`` — +∞ for unreachable vertices."""
+    """Returns state ``(id, dist: double)`` — +∞ for unreachable vertices.
+
+    ``track_parents``: adds a ``parent`` column (shortest-path tree — follow
+    parents to reconstruct the path). Deterministic: a vertex's parent is set
+    when its distance strictly improves, to the smallest-id predecessor among
+    that superstep's best proposals (min over the (dist, src) pair); the
+    source and unreachable vertices carry NULL."""
     spark = graph.spark
     edges = graph.edges_sym
     loop = SuperstepLoop("sssp", {"source": source}, checkpointer, resume)
 
+    state_cols = ["id", "dist", "changed"] + (["parent"] if track_parents else [])
     restored = loop.try_resume(spark)
     if restored is not None:
         start_step, state = restored
-        state = truncate_lineage(state.select("id", "dist", "changed"))
+        state = truncate_lineage(state.select(*state_cols))
     else:
         start_step = 0
-        state = truncate_lineage(
-            graph.vertices.select(
-                "id",
-                F.when(F.col("id") == source, 0.0).otherwise(F.lit(_INF)).alias("dist"),
-                (F.col("id") == source).alias("changed"),
-            )
+        init = graph.vertices.select(
+            "id",
+            F.when(F.col("id") == source, 0.0).otherwise(F.lit(_INF)).alias("dist"),
+            (F.col("id") == source).alias("changed"),
         )
+        if track_parents:
+            init = init.withColumn("parent", F.lit(None).cast("long"))
+        state = truncate_lineage(init)
 
     step = start_step
     converged = False
@@ -61,14 +70,26 @@ def sssp(
         )
         # Scatter from the frontier only: propose dist + weight to neighbors.
         msgs = edges.join(frontier.hint("shuffle_hash"), "src").select(
-            F.col("dst").alias("id"), (F.col("fdist") + F.col("weight")).alias("msg")
+            F.col("dst").alias("id"),
+            (F.col("fdist") + F.col("weight")).alias("msg"),
+            F.col("src").alias("via"),
         )
-        mins = msgs.groupBy("id").agg(F.min("msg").alias("mdist"))
-        new_state = state.drop("changed").join(mins, "id", "left").select(
-            "id",
+        if track_parents:
+            # min over (msg, via): best distance, smallest-id predecessor
+            mins = msgs.groupBy("id").agg(
+                F.min(F.struct("msg", "via")).alias("m")
+            ).select("id", F.col("m.msg").alias("mdist"), F.col("m.via").alias("mvia"))
+        else:
+            mins = msgs.groupBy("id").agg(F.min("msg").alias("mdist"))
+        improved = F.coalesce("mdist", F.lit(_INF)) < F.col("dist")
+        sel = [
+            F.col("id"),
             F.least("dist", F.coalesce("mdist", F.lit(_INF))).alias("dist"),
-            (F.coalesce("mdist", F.lit(_INF)) < F.col("dist")).alias("changed"),
-        )
+            improved.alias("changed"),
+        ]
+        if track_parents:
+            sel.append(F.when(improved, F.col("mvia")).otherwise(F.col("parent")).alias("parent"))
+        new_state = state.drop("changed").join(mins, "id", "left").select(*sel)
         new_state = truncate_lineage(new_state)
         changed = new_state.filter("changed").count()
         step += 1
@@ -78,4 +99,5 @@ def sssp(
             converged = True
             break
 
-    return loop.finish(state, step, converged, result=state.select("id", "dist"))
+    result_cols = ["id", "dist"] + (["parent"] if track_parents else [])
+    return loop.finish(state, step, converged, result=state.select(*result_cols))

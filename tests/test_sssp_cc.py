@@ -31,6 +31,66 @@ def test_sssp_chain_source_3(spark):
     g.unpersist()
 
 
+def test_sssp_parent_tree(spark):
+    from collections import defaultdict
+
+    from tests.fixtures import GRAPH_MAIN
+    from tests.oracles import bfs_oracle, symmetrize
+
+    g = Graph(edges_from_pairs(spark, GRAPH_MAIN), num_partitions=4)
+    res = sssp(g, source=1, track_parents=True)
+    rows = {r.id: (r.dist, r.parent) for r in res.state.collect()}
+    dist = bfs_oracle(GRAPH_MAIN, 1)
+    adj = defaultdict(set)
+    for s, d in symmetrize(GRAPH_MAIN):
+        adj[s].add(d)
+    inf = float("inf")
+    for v, (dv, pv) in rows.items():
+        assert dv == dist[v]
+        if v == 1 or dv == inf:
+            assert pv is None  # source and unreachable carry NULL
+        else:
+            # BFS parent = smallest-id neighbor one layer closer
+            want = min(u for u in adj[v] if dist[u] == dv - 1)
+            assert pv == want, v
+    g.unpersist()
+
+
+def test_sssp_weighted_parents_follow_simulation(spark):
+    # superstep-exact simulation: parent set on strict improvement only,
+    # min (dist, src) within the improving step
+    wpairs = [(s, d, float(1 + (s + d) % 3)) for s, d in GRAPH_CHAIN]
+    g = Graph(spark.createDataFrame(wpairs, "src long, dst long, weight double"))
+    res = sssp(g, source=1, track_parents=True)
+    got = {r.id: (r.dist, r.parent) for r in res.state.collect()}
+
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for s, d, w in wpairs:
+        adj[s].append((d, w))
+        adj[d].append((s, w))
+    inf = float("inf")
+    dist = {v: inf for v in adj}
+    parent = {v: None for v in adj}
+    dist[1] = 0.0
+    frontier = {1}
+    while frontier:
+        best: dict[int, tuple[float, int]] = {}
+        for u in frontier:
+            for v, w in adj[u]:
+                cand = (dist[u] + w, u)
+                if v not in best or cand < best[v]:
+                    best[v] = cand
+        frontier = set()
+        for v, (nd, via) in best.items():
+            if nd < dist[v]:
+                dist[v], parent[v] = nd, via
+                frontier.add(v)
+    assert got == {v: (dist[v], parent[v]) for v in adj}
+    g.unpersist()
+
+
 def test_sssp_terminates_with_empty_frontier(spark):
     g = Graph(edges_from_pairs(spark, GRAPH_CHAIN), num_partitions=4)
     res = sssp(g, source=1)
