@@ -649,6 +649,32 @@ WHERE sym.src < sym.dst"""
     )
 
 
+def _codegraph_repo_stats_sql(iters: int) -> str:
+    """Per-repo rollup of the derived code graph: file count, import and
+    co-change edge counts, and total PageRank mass — the summary table a
+    repo-health dashboard reads."""
+    base = _codegraph_pagerank_sql(iters)
+    head, _, _ = base.rpartition("\nSELECT")
+    assert head, "unexpected _codegraph_pagerank_sql shape"
+    return (
+        head
+        + f""",
+files AS (SELECT repo, COUNT(*) AS n_files FROM cg_paths GROUP BY repo),
+imp AS (SELECT printf('org/project-%03d', r) AS repo, COUNT(*) AS n_import_edges
+        FROM cg_imports GROUP BY r),
+co AS (SELECT printf('org/project-%03d', r) AS repo, COUNT(*) AS n_cochange_edges
+       FROM cg_cochange GROUP BY r),
+mass AS (
+  SELECT p.repo, ROUND(SUM(x.v), 9) AS pr_mass
+  FROM x{iters} x JOIN (SELECT repo || '|' || path AS id, repo FROM cg_paths) p
+  ON x.id = p.id GROUP BY p.repo
+)
+SELECT f.repo, f.n_files, i.n_import_edges, c.n_cochange_edges, m.pr_mass
+FROM files f JOIN imp i ON f.repo = i.repo
+JOIN co c ON f.repo = c.repo JOIN mass m ON f.repo = m.repo"""
+    )
+
+
 # h-index iteration reaches the coreness fixpoint in 19 rounds on the sf0.01
 # parts graph; unrolled to 24 for margin (extra rounds are no-ops at the
 # fixpoint in both engines — H of a fixpoint assignment maps to itself)
@@ -1404,6 +1430,34 @@ def _q_codegraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_codegraph_repo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.derive import derive_cochange_edges, derive_import_edges
+    from sparkgraph.ingest import commit_memberships, ingest_sources
+
+    src = _codegraph_sources(spark)
+    verts = ingest_sources(src)
+    imports = derive_import_edges(verts)
+    cochange = derive_cochange_edges(
+        commit_memberships(src), max_commit_files=CG_COCHANGE_CAP
+    )
+    g = Graph(imports.unionByName(cochange).select("src", "dst"))
+    pr = pagerank(g, mode="reference", iterations=CG_PR_ITERS).state
+    vr = verts.select("id", "repo")
+    files = verts.groupBy("repo").agg(F.count(F.lit(1)).alias("n_files"))
+    imp = (
+        imports.join(vr.withColumnRenamed("id", "src"), "src")
+        .groupBy("repo").agg(F.count(F.lit(1)).alias("n_import_edges"))
+    )
+    co = (
+        cochange.join(vr.withColumnRenamed("id", "src"), "src")
+        .groupBy("repo").agg(F.count(F.lit(1)).alias("n_cochange_edges"))
+    )
+    mass = pr.join(vr, "id").groupBy("repo").agg(
+        F.round(F.sum("value"), 9).alias("pr_mass")
+    )
+    return files.join(imp, "repo").join(co, "repo").join(mass, "repo")
+
+
 def _q_ingest_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _read(spark, sf_dir, "documents").select(
         "doc_id", F.sha2("text", 256).alias("content_sha")
@@ -1547,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codegraph_import_edges": _q_codegraph_imports,
         "codegraph_cochange_edges": _q_codegraph_cochange,
         "codegraph_pagerank": _q_codegraph_pagerank,
+        "codegraph_repo_stats": _q_codegraph_repo_stats,
         "betweenness_bipartite": _q_betweenness,
         "kcore_parts": _q_kcore_parts,
         "coreness_parts": _q_coreness,
@@ -1608,6 +1663,7 @@ def oracle_sql() -> dict[str, str]:
         "codegraph_import_edges": _CG_IMPORTS_SQL,
         "codegraph_cochange_edges": _CG_COCHANGE_SQL,
         "codegraph_pagerank": _codegraph_pagerank_sql(CG_PR_ITERS),
+        "codegraph_repo_stats": _codegraph_repo_stats_sql(CG_PR_ITERS),
         "betweenness_bipartite": _betweenness_sql(BETW_PIVOTS, BETW_DEPTH),
         "kcore_parts": _kcore_sql(KCORE_K, KCORE_ITERS),
         "coreness_parts": _coreness_sql(CORENESS_ITERS),
