@@ -6,7 +6,7 @@ the new engine's extras, shippable via spark-submit:
     python -m sparkgraph.cli pagerank --input edges.txt            # local
 
 Subcommands: pagerank | sssp | cc | scc | lpa | triangles | hits | kcore |
-closeness | walks | ingest.
+closeness | walks | stats | ingest.
 Input: an edge-list text file (reference format), a parquet edge table
 (src,dst[,weight]), or — for ``ingest`` — a sources table
 (repo,path,commit,lang,content) from which the code graph is derived.
@@ -69,6 +69,8 @@ def main(argv: list[str] | None = None) -> int:
     kc = sub.add_parser("kcore")
     common(kc)
     kc.add_argument("--k", type=int, required=True)
+    st = sub.add_parser("stats")
+    common(st)
     cl = sub.add_parser("closeness")
     common(cl)
     cl.add_argument("--pivots", type=int, default=8, help="BFS pivot sample size")
@@ -158,6 +160,26 @@ def main(argv: list[str] | None = None) -> int:
             from sparkgraph.algorithms.kcore import k_core
             res = k_core(g, args.k)
             out = res.state.select("id", F.lit(1.0).alias("value"))
+        elif args.cmd == "stats":
+            from sparkgraph.algorithms import connected_components
+
+            degs = g.degrees.agg(
+                F.count(F.lit(1)).alias("v"),
+                F.max("deg").alias("max_deg"),
+                F.avg("deg").alias("avg_deg"),
+            ).collect()[0]
+            n_comp = (
+                connected_components(g).state.select("component").distinct().count()
+            )
+            print(json.dumps({
+                "n_vertices": degs["v"],
+                "n_input_edges": g.edges.count(),
+                "n_sym_edges": g.edges_sym.count(),
+                "max_degree": degs["max_deg"],
+                "avg_degree": round(degs["avg_deg"], 3),
+                "n_components": n_comp,
+            }))
+            return 0
         elif args.cmd == "closeness":
             from sparkgraph.algorithms import harmonic_closeness_sampled
             res = harmonic_closeness_sampled(g, k=args.pivots)
