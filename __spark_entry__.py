@@ -554,6 +554,48 @@ FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
 JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
 )
 
+# k-truss gate: parts co-order subgraph restricted to partkey < TRUSS_MOD
+# (2.7k edges at sf0.01); k=5 peels to its 80-edge fixpoint in 5 rounds —
+# unrolled to 8 (extra rounds are no-ops at the fixpoint in both engines)
+TRUSS_MOD = 300
+TRUSS_K = 5
+TRUSS_ROUNDS = 8
+
+
+def _truss_sql(k: int, rounds: int) -> str:
+    need = k - 2
+    assert need > 0  # the inner support join drops support-0 edges
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey < {TRUSS_MOD} AND b.l_partkey < {TRUSS_MOD}
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""t{r} AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e{r-1} e1
+  JOIN e{r-1} e2 ON e1.v = e2.u
+  JOIN e{r-1} e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+s{r} AS MATERIALIZED (
+  SELECT u, v, COUNT(*) AS s FROM (
+    SELECT a AS u, b AS v FROM t{r}
+    UNION ALL SELECT b AS u, c AS v FROM t{r}
+    UNION ALL SELECT a AS u, c AS v FROM t{r}
+  ) x GROUP BY u, v
+),
+e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r-1} e JOIN s{r} s ON e.u = s.u AND e.v = s.v
+  WHERE s.s >= {need}
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT u, v FROM e{rounds}"
+
+
 EGO_RADIUS = 2
 PROJ_MIN_WEIGHT = 2
 PROJ_CAP = 10_000
@@ -1272,6 +1314,18 @@ def _q_lpa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(g, max_iter=LPA_ITERS, weighted=True).state
 
 
+def _q_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.algorithms.truss import k_truss
+
+    l = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").filter(
+        F.col("l_partkey") < TRUSS_MOD
+    )
+    a = l.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = l.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    e = a.join(b, "k").filter(F.col("src") < F.col("dst")).select("src", "dst").distinct()
+    return k_truss(Graph(e), TRUSS_K).state
+
+
 def _q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkgraph.algorithms.structure import local_clustering
 
@@ -1605,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_bipartite": _q_betweenness,
         "kcore_parts": _q_kcore_parts,
         "coreness_parts": _q_coreness,
+        "ktruss_parts": _q_truss,
         "local_clustering_suppliers": _q_local_clustering,
         "projection_suppliers": _q_projection,
         "assortativity_parts": _q_assortativity,
@@ -1667,6 +1722,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_bipartite": _betweenness_sql(BETW_PIVOTS, BETW_DEPTH),
         "kcore_parts": _kcore_sql(KCORE_K, KCORE_ITERS),
         "coreness_parts": _coreness_sql(CORENESS_ITERS),
+        "ktruss_parts": _truss_sql(TRUSS_K, TRUSS_ROUNDS),
         "local_clustering_suppliers": _LOCAL_CLUSTERING_SQL,
         "projection_suppliers": _PROJECTION_SQL,
         "assortativity_parts": _ASSORTATIVITY_SQL,

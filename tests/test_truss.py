@@ -1,0 +1,56 @@
+"""k-truss vs pure-Python support-peeling oracle."""
+
+from __future__ import annotations
+
+import random
+from collections import defaultdict
+
+from sparkgraph.algorithms.truss import k_truss
+from sparkgraph.graph import Graph
+from sparkgraph.io.edgelist import edges_from_pairs
+
+from tests.fixtures import GRAPH_MAIN_TRI
+
+
+def _truss_oracle(pairs, k):
+    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    while True:
+        adj = defaultdict(set)
+        for u, v in edges:
+            adj[u].add(v)
+            adj[v].add(u)
+        weak = {
+            (u, v) for u, v in edges if len(adj[u] & adj[v]) < k - 2
+        }
+        if not weak:
+            return edges
+        edges -= weak
+
+
+def test_truss_on_triangle_fixture(spark):
+    # GRAPH_MAIN_TRI's only triangle is {1,3,4}: its 3 edges are the 3-truss
+    g = Graph(edges_from_pairs(spark, GRAPH_MAIN_TRI), num_partitions=4)
+    got3 = {(r.u, r.v) for r in k_truss(g, 3).state.collect()}
+    assert got3 == {(1, 3), (1, 4), (3, 4)}
+    # k=2 keeps every edge; k=4 needs every edge in 2 triangles -> empty
+    n_edges = g.simple_undirected().count()
+    assert k_truss(g, 2).state.count() == n_edges
+    assert k_truss(g, 4).state.count() == 0
+    g.unpersist()
+
+
+def test_truss_random_graphs_match_oracle(spark):
+    rnd = random.Random(23)
+    for trial in range(2):
+        pairs = [
+            (a, b)
+            for a, b in {(rnd.randrange(20), rnd.randrange(20)) for _ in range(90)}
+            if a != b
+        ]
+        g = Graph(edges_from_pairs(spark, pairs), num_partitions=4)
+        for k in (3, 4):
+            res = k_truss(g, k)
+            assert res.converged
+            got = {(r.u, r.v) for r in res.state.collect()}
+            assert got == _truss_oracle(pairs, k), (trial, k)
+        g.unpersist()
