@@ -596,6 +596,64 @@ e{r} AS MATERIALIZED (
     return "WITH " + ",\n".join(ctes) + f"\nSELECT u, v FROM e{rounds}"
 
 
+# densest-subgraph gate: parts<TRUSS_MOD co-order edges (density 8.96 at
+# sf0.01) ∪ a planted 30-clique on ids DENSE_BASE.. (density 14.5) — the
+# (1+ε)-peel must survive past round 0 and pick the clique's round, so the
+# gate discriminates a real peel from "return the input"
+DENSE_BASE = 1_000_000_000
+DENSE_CLIQUE = 30
+DENSE_EPS = 0.1
+DENSE_ROUNDS = 12  # parts<300 peel empties in 7 rounds; margin for the union
+
+
+def _densest_sql(eps: float, rounds: int) -> str:
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey < {TRUSS_MOD} AND b.l_partkey < {TRUSS_MOD}
+  UNION
+  SELECT {DENSE_BASE} + t1.x AS u, {DENSE_BASE} + t2.x AS v
+  FROM range({DENSE_CLIQUE}) t1(x), range({DENSE_CLIQUE}) t2(x)
+  WHERE t1.x < t2.x
+)"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT u AS id FROM e{r} UNION ALL SELECT v AS id FROM e{r}
+  ) x GROUP BY id
+),
+st{r} AS MATERIALIZED (
+  SELECT {r} AS r, (SELECT COUNT(*) FROM e{r}) * 1.0 / COUNT(*) AS density
+  FROM d{r} HAVING COUNT(*) > 0
+),
+e{r+1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r} e
+  JOIN d{r} du ON e.u = du.id
+  JOIN d{r} dv ON e.v = dv.id
+  WHERE du.deg > (1.0 + {eps}) * (2.0 * (SELECT COUNT(*) FROM e{r})
+                                  / (SELECT COUNT(*) FROM d{r}))
+    AND dv.deg > (1.0 + {eps}) * (2.0 * (SELECT COUNT(*) FROM e{r})
+                                  / (SELECT COUNT(*) FROM d{r}))
+)"""
+        )
+    allv = "\nUNION ALL ".join(
+        f"SELECT {r} AS r, id FROM d{r}" for r in range(rounds)
+    )
+    stats = "\nUNION ALL ".join(f"SELECT r, density FROM st{r}" for r in range(rounds))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+allv AS ({allv}),
+stats AS ({stats}),
+best AS (SELECT r FROM stats ORDER BY density DESC, r ASC LIMIT 1)
+SELECT allv.id FROM allv JOIN best ON allv.r = best.r"""
+    )
+
+
 EGO_RADIUS = 2
 PROJ_MIN_WEIGHT = 2
 PROJ_CAP = 10_000
@@ -1314,6 +1372,24 @@ def _q_lpa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(g, max_iter=LPA_ITERS, weighted=True).state
 
 
+def _q_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.algorithms.densest import densest_subgraph
+
+    l = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").filter(
+        F.col("l_partkey") < TRUSS_MOD
+    )
+    a = l.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = l.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    parts = a.join(b, "k").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    c1 = spark.range(DENSE_CLIQUE).select(F.col("id").alias("x"))
+    c2 = spark.range(DENSE_CLIQUE).select(F.col("id").alias("y"))
+    clique = c1.join(c2, F.col("x") < F.col("y")).select(
+        (F.col("x") + DENSE_BASE).alias("src"), (F.col("y") + DENSE_BASE).alias("dst")
+    )
+    e = parts.unionByName(clique).distinct()
+    return densest_subgraph(Graph(e), epsilon=DENSE_EPS).state
+
+
 def _q_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkgraph.algorithms.truss import k_truss
 
@@ -1660,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_parts": _q_kcore_parts,
         "coreness_parts": _q_coreness,
         "ktruss_parts": _q_truss,
+        "densest_parts_clique": _q_densest,
         "local_clustering_suppliers": _q_local_clustering,
         "projection_suppliers": _q_projection,
         "assortativity_parts": _q_assortativity,
@@ -1723,6 +1800,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_parts": _kcore_sql(KCORE_K, KCORE_ITERS),
         "coreness_parts": _coreness_sql(CORENESS_ITERS),
         "ktruss_parts": _truss_sql(TRUSS_K, TRUSS_ROUNDS),
+        "densest_parts_clique": _densest_sql(DENSE_EPS, DENSE_ROUNDS),
         "local_clustering_suppliers": _LOCAL_CLUSTERING_SQL,
         "projection_suppliers": _PROJECTION_SQL,
         "assortativity_parts": _ASSORTATIVITY_SQL,
