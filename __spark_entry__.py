@@ -833,6 +833,18 @@ FROM verts v LEFT JOIN (
     )
 
 
+def _eccentricity_sql(k: int, depth: int) -> str:
+    """Per-pivot eccentricity = max first-seen BFS depth; reuses the
+    closeness oracle's unrolled multi-pivot BFS CTEs."""
+    base = _closeness_sql(k, depth)
+    head, _, _ = base.rpartition("\nSELECT")
+    assert head, "unexpected _closeness_sql shape"
+    return (
+        head
+        + f"\nSELECT pvt AS pivot, MAX(depth) AS eccentricity FROM s{depth} GROUP BY pvt"
+    )
+
+
 WALK_LEN = 6
 WALK_WINDOW = 2
 
@@ -1458,6 +1470,13 @@ def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", F.round("closeness", 9).alias("closeness"))
 
 
+def _q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.algorithms.closeness import eccentricity_sampled
+
+    g = Graph(bipartite_edges(spark, sf_dir))
+    return eccentricity_sampled(g, k=BETW_PIVOTS).state
+
+
 def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # affine mixer = the SQL-expressible one; production default is xxhash64
     # (pytest gates both against a pure-Python walk oracle)
@@ -1725,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_suppliers": _q_triangles,
         "scc_parts_affine": _q_scc,
         "closeness_bipartite": _q_closeness,
+        "eccentricity_bipartite": _q_eccentricity,
         "random_walks_bipartite": _q_random_walks,
         "walk_skipgram_bipartite": _q_walk_skipgram,
         "weighted_walks_bipartite": _q_weighted_walks,
@@ -1789,6 +1809,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles_suppliers": _TRIANGLES_SQL,
         "scc_parts_affine": _SCC_SQL,
         "closeness_bipartite": _closeness_sql(BETW_PIVOTS, BETW_DEPTH),
+        "eccentricity_bipartite": _eccentricity_sql(BETW_PIVOTS, BETW_DEPTH),
         "random_walks_bipartite": _walks_sql(WALK_LEN),
         "walk_skipgram_bipartite": _skipgram_sql(WALK_LEN, WALK_WINDOW),
         "weighted_walks_bipartite": _weighted_walks_sql(WALK_LEN),

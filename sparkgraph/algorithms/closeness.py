@@ -92,3 +92,59 @@ def harmonic_closeness_sampled(
         )
     sym.unpersist()
     return loop.finish(out, step, converged=True, result=out)
+
+
+def eccentricity_sampled(
+    graph: Graph,
+    k: int = 8,
+    pivots: list[int] | None = None,
+    max_depth: int = 10_000,
+) -> PregelResult:
+    """Per-pivot eccentricity (max BFS depth within the pivot's component) via
+    the same one-loop multi-pivot BFS; ``max(eccentricity)`` over the sample
+    is the standard LOWER bound on the graph diameter (exact when a
+    peripheral vertex is sampled). Returns state ``(pivot, eccentricity)``."""
+    spark = graph.spark
+    simple = graph.simple_undirected()
+    sym = truncate_lineage(
+        simple.unionByName(
+            simple.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).repartition(graph.num_partitions, "u")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    verts = sym.select(F.col("u").alias("id")).distinct()
+    if verts.count() == 0:
+        raise ValueError("graph has no vertices")
+    if pivots is None:
+        pivots = [r.id for r in verts.orderBy("id").limit(k).collect()]
+    loop = SuperstepLoop("eccentricity", {"k": len(pivots)})
+
+    pivot_df = spark.createDataFrame([(p,) for p in pivots], "pivot long")
+    state = truncate_lineage(
+        pivot_df.select("pivot", F.col("pivot").alias("id"), F.lit(0).alias("depth"))
+    )
+    frontier = state
+    step = 0
+    depth = 0
+    while depth < max_depth:
+        loop.step_started()
+        cand = (
+            sym.join(frontier.withColumnRenamed("id", "u").hint("shuffle_hash"), "u")
+            .select("pivot", F.col("v").alias("id"))
+            .distinct()
+        )
+        new = truncate_lineage(
+            cand.join(state.select("pivot", "id"), ["pivot", "id"], "left_anti")
+            .withColumn("depth", F.lit(depth + 1))
+        )
+        n_new = new.count()
+        step += 1
+        loop.step_done(state, step, changed=n_new)
+        if n_new == 0:
+            break
+        state = truncate_lineage(state.unionByName(new))
+        frontier = new
+        depth += 1
+
+    out = state.groupBy("pivot").agg(F.max("depth").alias("eccentricity"))
+    sym.unpersist()
+    return loop.finish(out, step, converged=True, result=out)

@@ -54,6 +54,27 @@ def test_sampled_pivots_match_python_replay(spark):
         assert math.isclose(got[v], want[v], rel_tol=1e-9), v
 
 
+def test_eccentricity_matches_bfs(spark):
+    from sparkgraph.algorithms.closeness import eccentricity_sampled
+
+    nodes = sorted({v for e in GRAPH_MAIN for v in e})
+    g = Graph(spark.createDataFrame(GRAPH_MAIN, "src long, dst long"))
+    got = {
+        r.pivot: r.eccentricity
+        for r in eccentricity_sampled(g, pivots=nodes).state.collect()
+    }
+    for p in nodes:
+        dist = bfs_oracle(GRAPH_MAIN, p)
+        assert got[p] == max(int(d) for d in dist.values() if d < INF), p
+    # diameter lower bound from the full sample IS the diameter
+    want_diam = max(
+        max(int(d) for d in bfs_oracle(GRAPH_MAIN, p).values() if d < INF)
+        for p in nodes
+    )
+    assert max(got.values()) == want_diam == 7
+    g.unpersist()
+
+
 def test_unnormalized_scale(spark):
     nodes = sorted({v for e in GRAPH_MAIN for v in e})
     got = _got(spark, GRAPH_MAIN, pivots=nodes, normalize=False)
