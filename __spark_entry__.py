@@ -845,6 +845,50 @@ def _eccentricity_sql(k: int, depth: int) -> str:
     )
 
 
+# Luby MIS converges in 2 rounds on the sf0.01 bipartite graph with the
+# affine mixer; unrolled to 4 (empty rounds produce no winners — no-ops)
+MIS_ROUNDS = 4
+
+
+def _mis_sql(rounds: int) -> str:
+    from sparkgraph.algorithms.mis import MIS_AFFINE_MOD, MIS_AFFINE_S, MIS_AFFINE_V
+
+    sentinel = 2**62
+    ctes = [
+        "live0 AS MATERIALIZED (SELECT id FROM verts)",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM sym)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT id, ((id*{MIS_AFFINE_V} + {r * MIS_AFFINE_S}) % {MIS_AFFINE_MOD}) * 4294967296 + id AS key
+  FROM live{r}
+),
+nm{r} AS MATERIALIZED (
+  SELECT e.dst AS id, MIN(p.key) AS mnk
+  FROM e{r} e JOIN p{r} p ON e.src = p.id GROUP BY e.dst
+),
+w{r} AS MATERIALIZED (
+  SELECT p.id FROM p{r} p LEFT JOIN nm{r} n ON p.id = n.id
+  WHERE p.key < COALESCE(n.mnk, {sentinel})
+),
+rm{r} AS MATERIALIZED (
+  SELECT id FROM w{r}
+  UNION
+  SELECT e.dst AS id FROM e{r} e JOIN w{r} w ON e.src = w.id
+),
+live{r+1} AS MATERIALIZED (
+  SELECT id FROM live{r} WHERE id NOT IN (SELECT id FROM rm{r})
+),
+e{r+1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r} e
+  JOIN live{r+1} a ON e.src = a.id JOIN live{r+1} b ON e.dst = b.id
+)"""
+        )
+    union = "\nUNION ALL ".join(f"SELECT id FROM w{r}" for r in range(rounds))
+    return "WITH " + _BIP_CTE + ",\n" + ",\n".join(ctes) + "\n" + union
+
+
 WALK_LEN = 6
 WALK_WINDOW = 2
 
@@ -1470,6 +1514,13 @@ def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", F.round("closeness", 9).alias("closeness"))
 
 
+def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.algorithms.mis import maximal_independent_set
+
+    g = Graph(bipartite_edges(spark, sf_dir))
+    return maximal_independent_set(g, mixer="affine").state
+
+
 def _q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkgraph.algorithms.closeness import eccentricity_sampled
 
@@ -1745,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_parts_affine": _q_scc,
         "closeness_bipartite": _q_closeness,
         "eccentricity_bipartite": _q_eccentricity,
+        "mis_bipartite": _q_mis,
         "random_walks_bipartite": _q_random_walks,
         "walk_skipgram_bipartite": _q_walk_skipgram,
         "weighted_walks_bipartite": _q_weighted_walks,
@@ -1810,6 +1862,7 @@ def oracle_sql() -> dict[str, str]:
         "scc_parts_affine": _SCC_SQL,
         "closeness_bipartite": _closeness_sql(BETW_PIVOTS, BETW_DEPTH),
         "eccentricity_bipartite": _eccentricity_sql(BETW_PIVOTS, BETW_DEPTH),
+        "mis_bipartite": _mis_sql(MIS_ROUNDS),
         "random_walks_bipartite": _walks_sql(WALK_LEN),
         "walk_skipgram_bipartite": _skipgram_sql(WALK_LEN, WALK_WINDOW),
         "weighted_walks_bipartite": _weighted_walks_sql(WALK_LEN),
