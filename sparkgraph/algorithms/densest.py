@@ -59,6 +59,9 @@ def densest_subgraph(
         step += 1
         loop.step_done(e, step, delta=density)
 
+    if not rounds:  # edgeless graph: round 0 saw n == 0, nothing was recorded
+        empty = e.select(F.col("u").alias("id")).limit(0)
+        return loop.finish(empty, step, True, result=empty)
     best_density, best_verts = max(
         enumerate(rounds), key=lambda t: (t[1][0], -t[0])
     )[1]

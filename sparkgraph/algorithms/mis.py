@@ -63,11 +63,14 @@ def maximal_independent_set(
         if n_live == 0:
             converged = True
             break
-        # encoded lexicographic (priority, id) key — one long per vertex
+        # lexicographic (priority, id) key as a struct — struct min/compare is
+        # field-wise lexicographic, valid for ANY id range (an encoded
+        # pri*2^32+id long would let ids ≥ 2^32 bleed into the priority field)
         pri = live.select(
             "id",
-            (
-                _priority(mixer, F.col("id"), step) * F.lit(2**32) + F.col("id")
+            F.struct(
+                _priority(mixer, F.col("id"), step).cast("long").alias("p"),
+                F.col("id").cast("long").alias("i"),
             ).alias("key"),
         )
         lp = pri.select(F.col("id").alias("u"), F.col("key").alias("ukey"))
@@ -77,9 +80,14 @@ def maximal_independent_set(
             .groupBy("id")
             .agg(F.min("nkey").alias("min_nkey"))
         )
+        # no-neighbor sentinel: any real priority < MIS_AFFINE_MOD
+        sentinel = F.struct(
+            F.lit(MIS_AFFINE_MOD).cast("long").alias("p"),
+            F.lit(0).cast("long").alias("i"),
+        )
         winners = truncate_lineage(
             pri.join(nbr_min, "id", "left")
-            .filter(F.col("key") < F.coalesce("min_nkey", F.lit(2**62)))
+            .filter(F.col("key") < F.coalesce(F.col("min_nkey"), sentinel))
             .select("id")
         )
         mis_parts.append(winners)

@@ -57,7 +57,14 @@ def indexed_adjacency(graph: Graph) -> DataFrame:
     """(src, idx, dst, deg) over the simple undirected view: neighbors of each
     src ranked 0..deg-1 by dst (unique per src after dedup ⇒ deterministic),
     with the simple-graph degree on every row."""
-    simple = graph.edges_sym.select("src", "dst").distinct()
+    # drop self-loops too: walks run on the SIMPLE undirected view (matching
+    # simple_undirected() used by MIS/truss/closeness) — a v→v hop would be
+    # unreachable by the loop-free oracle twins
+    simple = (
+        graph.edges_sym.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
     w = Window.partitionBy("src")
     return simple.select(
         "src",
@@ -208,16 +215,28 @@ def weighted_random_walks(
 def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     """Walk trace → (center, context, n_cooc): co-occurrence counts of vertex
     pairs within ±window steps on the same walk (both directions, the
-    standard skip-gram context). Pure relational self-join on walk_id —
-    shuffles once on walk_id, then map-side combines the counts."""
-    a = walks.select("walk_id", F.col("step").alias("sa"), F.col("vertex").alias("center"))
-    b = walks.select("walk_id", F.col("step").alias("sb"), F.col("vertex").alias("context"))
+    standard skip-gram context).
+
+    Scale shape: each center row explodes into its ≤ 2·window concrete
+    context offsets FIRST, then equi-joins on ``(walk_id, step)`` — join
+    volume is O(L·window) per walk. (A plain self-join on walk_id followed by
+    a |sa−sb| ≤ window filter materializes (L+1)² rows per walk inside the
+    join — a 16–64× blow-up at corpus walk lengths of 40–80.) Out-of-range
+    offsets (< 0 or > L) simply find no match. One shuffle, map-side combined
+    counts."""
+    offsets = F.array(
+        *[F.lit(o) for o in range(-window, window + 1) if o != 0]
+    )
+    a = walks.select(
+        "walk_id",
+        F.col("vertex").alias("center"),
+        F.explode(F.transform(offsets, lambda o: F.col("step") + o)).alias("sb"),
+    )
+    b = walks.select(
+        "walk_id", F.col("step").alias("sb"), F.col("vertex").alias("context")
+    )
     return (
-        a.join(b, "walk_id")
-        .filter(
-            (F.col("sa") != F.col("sb"))
-            & (F.abs(F.col("sa") - F.col("sb")) <= window)
-        )
+        a.join(b, ["walk_id", "sb"])
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n_cooc"))
     )

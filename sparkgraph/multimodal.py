@@ -75,10 +75,13 @@ def image_features(
             chans = np.array([m["channels"] for m in metas], dtype=np.int32)
             # decode is inherently per-blob (variable-size opaque bytes); the
             # reduce is vectorized over the whole Arrow batch: one flat pixel
-            # buffer + segment-wise reduceat instead of per-image Python math
+            # buffer + segment-wise reduceat instead of per-image Python math.
+            # Upcast to float64 BEFORE reducing: uint8 codec output would wrap
+            # mod 256 in flat*flat, and float32 sequential accumulation loses
+            # precision on large images.
             flat = np.concatenate(
                 [
-                    backend.decode_image(bytes(d), w, h, c).ravel()
+                    backend.decode_image(bytes(d), w, h, c).ravel().astype(np.float64)
                     for d, w, h, c in zip(b["data"], widths, heights, chans)
                 ]
             )

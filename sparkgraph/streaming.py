@@ -166,10 +166,12 @@ def streaming_pagerank(
     saving). History per batch lands in ``query.history`` on the returned
     handle: (batch_id, supersteps, n_vertices).
 
-    Exactly-once: edge appends are idempotent per micro-batch only if the
-    stream's checkpointLocation is set (Spark replays failed batches) — pass
-    one via ``.option("checkpointLocation", ...)`` when starting a durable
-    run; tests use availableNow + fresh dirs.
+    Exactly-once: each micro-batch writes its edges to a batch_id-keyed
+    subdirectory with mode=overwrite, so a replayed batch (failure recovery
+    with checkpointLocation set — Spark re-runs foreachBatch with the SAME
+    batch_id and data) rewrites the same subdir instead of duplicating edges.
+    foreachBatch itself gives at-least-once; the keyed overwrite makes the
+    edge accumulation idempotent.
     """
     import os
 
@@ -182,7 +184,13 @@ def streaming_pagerank(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df.select("src", "dst", "weight").write.mode("append").parquet(edges_dir)
+        # Hive-style batch_id=N subdir: a replayed micro-batch (same batch_id,
+        # same data) overwrites its own subdir instead of duplicating edges,
+        # and a plain spark.read.parquet(edges_dir) still sees every batch
+        # via partition discovery.
+        batch_df.select("src", "dst", "weight").write.mode("overwrite").parquet(
+            os.path.join(edges_dir, f"batch_id={batch_id}")
+        )
         g = Graph(spark.read.parquet(edges_dir))
         warm = None
         if history:  # previous batch published scores
@@ -208,7 +216,8 @@ def streaming_connected_components(edges: DataFrame, work_dir: str, max_iter: in
     append edges, re-run hash-min CC warm-started from the previous labels
     (new edges only merge components, and an old label is a valid id inside
     its grown component — see connected_components docstring), publish
-    ``<work_dir>/labels``. Same handle contract as streaming_pagerank."""
+    ``<work_dir>/labels``. Same handle + idempotence contract as
+    streaming_pagerank (batch_id-keyed overwrite)."""
     import os
 
     from sparkgraph.algorithms import connected_components
@@ -220,7 +229,13 @@ def streaming_connected_components(edges: DataFrame, work_dir: str, max_iter: in
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df.select("src", "dst", "weight").write.mode("append").parquet(edges_dir)
+        # Hive-style batch_id=N subdir: a replayed micro-batch (same batch_id,
+        # same data) overwrites its own subdir instead of duplicating edges,
+        # and a plain spark.read.parquet(edges_dir) still sees every batch
+        # via partition discovery.
+        batch_df.select("src", "dst", "weight").write.mode("overwrite").parquet(
+            os.path.join(edges_dir, f"batch_id={batch_id}")
+        )
         g = Graph(spark.read.parquet(edges_dir))
         warm = spark.read.parquet(labels_dir) if history else None
         res = connected_components(g, max_iter=max_iter, initial_labels=warm)
