@@ -979,6 +979,85 @@ w0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur FROM verts)"""
     return "WITH " + prefix + ",\n" + ",\n".join(ctes) + "\n" + union
 
 
+N2V_P, N2V_Q = 2, 3  # exercises all three weight classes (slots 3 / 6 / 2)
+
+
+def _node2vec_sql(walk_len: int, p: int, q: int) -> str:
+    """Closed-form twin of algorithms.walks.node2vec_walks: slot-expanded
+    second-order (prev, cur)-keyed adjacency with integer {1/p, 1, 1/q}
+    weights, hop 1 uniform first-order, affine mixer, unrolled hops."""
+    from fractions import Fraction
+    from math import lcm
+
+    from sparkgraph.algorithms.walks import AFFINE_MOD, AFFINE_S, AFFINE_V, AFFINE_W
+
+    a_ret, a_out = 1 / Fraction(str(p)), 1 / Fraction(str(q))
+    scale = lcm(a_ret.denominator, a_out.denominator)
+    w_ret, w_in, w_out = int(a_ret * scale), int(scale), int(a_out * scale)
+
+    prefix = (
+        _BIP_CTE
+        + f""",
+simple AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM sym
+  WHERE src <> dst AND src % 2 = 0 AND dst % 2 = 0
+),
+tri AS MATERIALIZED (
+  SELECT e1.src AS prev, e1.dst AS cur, e2.dst AS x,
+         CASE WHEN e2.dst = e1.src THEN {w_ret}
+              WHEN c.dst IS NOT NULL THEN {w_in}
+              ELSE {w_out} END AS w
+  FROM simple e1
+  JOIN simple e2 ON e1.dst = e2.src
+  LEFT JOIN simple c ON c.src = e1.src AND c.dst = e2.dst
+),
+slot AS MATERIALIZED (
+  SELECT prev, cur, x, w,
+         CAST(SUM(w) OVER (PARTITION BY prev, cur ORDER BY x) AS BIGINT) AS cum,
+         CAST(SUM(w) OVER (PARTITION BY prev, cur) AS BIGINT) AS wtot
+  FROM tri
+),
+adj2 AS MATERIALIZED (
+  SELECT prev, cur, UNNEST(generate_series(cum - w, cum - 1)) AS idx, x FROM slot
+),
+wtab AS MATERIALIZED (SELECT DISTINCT prev, cur, wtot FROM slot),
+adj1 AS MATERIALIZED (
+  SELECT src, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx, dst
+  FROM simple
+),
+adeg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM simple GROUP BY src),
+w0 AS MATERIALIZED (
+  SELECT src AS walk_id, src AS cur FROM (SELECT DISTINCT src FROM simple)
+),
+w1 AS MATERIALIZED (
+  SELECT w.walk_id, w.cur AS prev, a.dst AS cur
+  FROM w0 w JOIN adeg d ON w.cur = d.id
+  JOIN adj1 a ON a.src = w.cur
+   AND a.idx = ((w.cur*{AFFINE_V} + w.walk_id*{AFFINE_W} + {AFFINE_S}) % {AFFINE_MOD}) % d.deg
+)"""
+    )
+    ctes = []
+    for s in range(2, walk_len + 1):
+        mix = (
+            f"((w.cur*{AFFINE_V} + w.walk_id*{AFFINE_W} + {s * AFFINE_S}) "
+            f"% {AFFINE_MOD}) % t.wtot"
+        )
+        ctes.append(
+            f"""w{s} AS MATERIALIZED (
+  SELECT w.walk_id, w.cur AS prev, a.x AS cur
+  FROM w{s-1} w
+  JOIN wtab t ON t.prev = w.prev AND t.cur = w.cur
+  JOIN adj2 a ON a.prev = w.prev AND a.cur = w.cur AND a.idx = {mix}
+)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT walk_id, {s} AS step, cur AS vertex FROM w{s}"
+        for s in range(walk_len + 1)
+    )
+    body = ",\n".join(ctes)
+    return "WITH " + prefix + (",\n" + body if body else "") + "\n" + union
+
+
 def _skipgram_sql(walk_len: int, window: int) -> str:
     return (
         _walks_cte(walk_len)
@@ -1553,6 +1632,20 @@ def _q_walk_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipgram_pairs(random_walks(g, WALK_LEN, mixer="affine"), window=WALK_WINDOW)
 
 
+def _q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gate runs on the even-id induced subgraph: the second-order slot table
+    # is Σ deg² rows (node2vec's alias-table footprint — inherent to exact
+    # (p,q) sampling), so the full bipartite graph would make this single row
+    # ~10x the cost of the rest of the gate; the induced subgraph exercises
+    # the identical build + hop path at 1/16 the slot volume
+    from sparkgraph.algorithms.walks import node2vec_walks
+
+    e = bipartite_edges(spark, sf_dir).filter(
+        (F.col("src") % 2 == 0) & (F.col("dst") % 2 == 0)
+    )
+    return node2vec_walks(Graph(e), WALK_LEN, p=N2V_P, q=N2V_Q, mixer="affine")
+
+
 def _codegraph_sources(spark: SparkSession) -> DataFrame:
     """Deterministic sources(repo, path, commit, lang, content) fixture —
     the engine's primary input shape (BASELINE.json input_hint), generated
@@ -1775,11 +1868,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict ORDER is load-bearing: the driver's correctness gate runs the
+    first 50 entries, so the text/similarity queries that fell past the cap
+    in round 2 (and any brand-new operator) come FIRST; the tail holds cheap
+    rows that already have green driver records from earlier rounds. The
+    CSR-kernel twins (pagerank/sssp/cc _csr) were retired from the gate —
+    their relational/CSR equivalence is pytest-pinned at 1e-12
+    (tests/test_csr_kernel.py) and their oracle SQL was identical to the
+    relational rows'."""
     return {
+        # -- round-2 driver-unverified (gate positions 1-10) --------------
+        "langid_documents": _q_langid,
+        "ngram_jaccard_documents": _q_jaccard,
+        "cosine_embeddings": _q_cosine,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "embedding_neardup": _q_embedding_neardup,
+        "events_windowed": _q_events_windowed,
+        "fingerprint_documents": _q_fingerprint,
+        "minhash_lsh_documents": _q_minhash_lsh,
+        "simhash_documents": _q_simhash,
+        "simhash_pairs_documents": _q_simhash_pairs,
+        # -- new this round -----------------------------------------------
+        "node2vec_bipartite": _q_node2vec,
+        # -- graph core ---------------------------------------------------
         "pagerank_bipartite": _q_pagerank,
         "pagerank_tol_bipartite": _q_pagerank_tol,
         "pagerank_weighted_bipartite": _q_pagerank_weighted,
-        "pagerank_csr_bipartite": _q_pagerank_csr,
         "salted_degrees_bipartite": _q_salted_degrees,
         "sssp_bipartite": _q_sssp,
         "sssp_parents_bipartite": _q_sssp_parents,
@@ -1790,8 +1904,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_weighted_bipartite": _q_lpa_weighted,
         "cc_suppliers": _q_cc_suppliers,
         "cc_star_bipartite": _q_cc_star,
-        "sssp_csr_bipartite": _q_sssp_csr,
-        "cc_csr_bipartite": _q_cc_csr,
         "triangles_suppliers": _q_triangles,
         "scc_parts_affine": _q_scc,
         "closeness_bipartite": _q_closeness,
@@ -1818,24 +1930,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_parts": _q_clustering_parts,
         "hits_bipartite": _q_hits,
         "ppr_bipartite": _q_ppr,
-        "degrees_bipartite": _q_degrees,
-        "degree_histogram_bipartite": _q_degree_histogram,
-        "num_vertices_bipartite": _q_num_vertices,
-        "top25_pagerank_bipartite": _q_topk_pagerank,
+        # -- tail: already driver-green in r01/r02, safe past the 50-cap --
         "ingest_sha_documents": _q_ingest_sha,
         "dedup_exact_documents": _q_dedup_exact,
         "token_stats_documents": _q_token_stats,
         "quality_documents": _q_quality,
-        "langid_documents": _q_langid,
-        "ngram_jaccard_documents": _q_jaccard,
-        "cosine_embeddings": _q_cosine,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "embedding_neardup": _q_embedding_neardup,
-        "events_windowed": _q_events_windowed,
-        "fingerprint_documents": _q_fingerprint,
-        "minhash_lsh_documents": _q_minhash_lsh,
-        "simhash_documents": _q_simhash,
-        "simhash_pairs_documents": _q_simhash_pairs,
+        "degrees_bipartite": _q_degrees,
+        "degree_histogram_bipartite": _q_degree_histogram,
+        "num_vertices_bipartite": _q_num_vertices,
+        "top25_pagerank_bipartite": _q_topk_pagerank,
     }
 
 
@@ -1844,7 +1947,6 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_bipartite": _pagerank_sql(PR_ITERS),
         "pagerank_tol_bipartite": _pagerank_conv_sql(PR_TOL_STEPS_SF001),
         "pagerank_weighted_bipartite": _pagerank_weighted_sql(PR_ITERS),
-        "pagerank_csr_bipartite": _pagerank_sql(PR_ITERS),
         "salted_degrees_bipartite": "WITH " + _BIP_CTE
         + "\nSELECT id, CAST(deg AS DOUBLE) AS deg_sum FROM deg",
         "sssp_bipartite": _sssp_sql(SSSP_ITERS, SSSP_SOURCE),
@@ -1856,13 +1958,12 @@ def oracle_sql() -> dict[str, str]:
         "lpa_weighted_bipartite": _lpa_weighted_sql(LPA_ITERS, _BIP_CTE),
         "cc_suppliers": _cc_sql(CC_ITERS, _SUPP_CTE),
         "cc_star_bipartite": _cc_sql(CC_ITERS, _BIP_CTE),
-        "sssp_csr_bipartite": _sssp_sql(SSSP_ITERS, SSSP_SOURCE),
-        "cc_csr_bipartite": _cc_sql(CC_ITERS, _BIP_CTE),
         "triangles_suppliers": _TRIANGLES_SQL,
         "scc_parts_affine": _SCC_SQL,
         "closeness_bipartite": _closeness_sql(BETW_PIVOTS, BETW_DEPTH),
         "eccentricity_bipartite": _eccentricity_sql(BETW_PIVOTS, BETW_DEPTH),
         "mis_bipartite": _mis_sql(MIS_ROUNDS),
+        "node2vec_bipartite": _node2vec_sql(WALK_LEN, N2V_P, N2V_Q),
         "random_walks_bipartite": _walks_sql(WALK_LEN),
         "walk_skipgram_bipartite": _skipgram_sql(WALK_LEN, WALK_WINDOW),
         "weighted_walks_bipartite": _weighted_walks_sql(WALK_LEN),

@@ -35,6 +35,12 @@ import __spark_entry__ as entrymod
 
 POWERLAW_EDGES = int(os.environ.get("BENCH_POWERLAW_EDGES", 2_000_000))
 POWERLAW_VERTS = int(os.environ.get("BENCH_POWERLAW_VERTS", 200_000))
+# Noise defence (this box varies up to ~5x run-to-run): every headline is
+# best-of-N with the plan REBUILT fresh each attempt — Spark 4.x reuses a
+# completed result for the SAME DataFrame object, so each fn() must (and
+# does) construct its plan from scratch; re-collecting a stored df would
+# time nothing.
+BENCH_REPEATS = int(os.environ.get("BENCH_REPEATS", 2))
 
 
 def main() -> None:
@@ -44,15 +50,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.monotonic()
-        out = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+    def timed(name, fn, repeats: int = BENCH_REPEATS):
+        out, best = None, float("inf")
+        for _ in range(max(repeats, 1)):
+            t0 = time.monotonic()
+            out = fn()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
         return out
 
     # -- bipartite graph jobs ------------------------------------------------
     g_bip = Graph(entrymod.bipartite_edges(spark, sf_dir))
     n_edges_bip = g_bip.edges_sym.count()  # materializes the persisted sym view
+    # untimed warm-up: exercises the full superstep machinery (codegen,
+    # shuffle service, checkpoint dirs) before the first timed attempt
+    pagerank(g_bip, mode="reference", iterations=2).state.count()
 
     timed("pagerank10_bipartite", lambda: pagerank(g_bip, mode="reference", iterations=10).state.count())
     extra["pagerank_bipartite_edges_per_sec"] = round(

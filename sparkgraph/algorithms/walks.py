@@ -212,6 +212,177 @@ def weighted_random_walks(
     return out
 
 
+def node2vec_walks(
+    graph: Graph,
+    walk_len: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    mixer: str = "xxhash",
+    checkpoint_every: int = 1,
+    max_degree: int | None = 100_000,
+) -> DataFrame:
+    """node2vec (Grover & Leskovec 2016) second-order biased walks: from
+    ``cur`` having arrived from ``prev``, the unnormalized probability of
+    stepping to neighbor ``x`` is 1/p if x = prev (return), 1 if x ∈ N(prev)
+    (stay close), else 1/q (explore). One walk per vertex, hop 1 uniform
+    first-order, steps 0..walk_len; returns ``(walk_id, step, vertex)``.
+
+    Exact-sampling shape: p and q are converted to EXACT rationals and the
+    three weights scaled to integers (return/in/out slot counts), so the
+    biased pick is a uniform ``mix mod W(prev, cur)`` over a slot-expanded
+    SECOND-ORDER adjacency keyed ``(prev, cur, slot_idx)`` — each hop is still
+    ONE perfectly-selective equi-join per walker (the hub-safe shape of
+    ``random_walks``; same deterministic mixer, so the affine variant is
+    DuckDB-replayable).
+
+    The cost moved to BUILD time, where it belongs at corpus scale: the slot
+    table has Σ_v deg(v)² · O(scaled weights) rows — the same footprint as
+    node2vec's alias tables, built distributively (triple join + window
+    cumsum, no driver state). ``max_degree`` guards the quadratic hub
+    envelope: raise above it rather than silently exploding (cap hubs or fall
+    back to first-order ``random_walks`` — the standard production
+    mitigations)."""
+    from fractions import Fraction
+    from math import lcm
+
+    fp, fq = Fraction(str(p)), Fraction(str(q))
+    if fp <= 0 or fq <= 0:
+        raise ValueError("p and q must be positive")
+    a_ret, a_out = 1 / fp, 1 / fq
+    scale = lcm(a_ret.denominator, a_out.denominator)
+    w_ret, w_in, w_out = (
+        int(a_ret * scale), int(scale), int(a_out * scale),
+    )
+
+    s1 = (
+        graph.edges_sym.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if max_degree is not None:
+        top = (
+            s1.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+            .agg(F.max("deg").alias("m")).collect()[0]["m"]
+        )
+        if top is not None and top > max_degree:
+            raise ValueError(
+                f"max degree {top} > max_degree={max_degree}: the second-order "
+                "slot table is O(deg^2) per hub — cap hubs or use random_walks"
+            )
+
+    # second-order triples (prev -> cur -> x) with integer slot weights;
+    # return beats in-neighborhood classification (loop-free base, so
+    # x = prev is never itself an edge match)
+    tri = (
+        s1.select(F.col("src").alias("prev"), F.col("dst").alias("cur"))
+        .join(s1.select(F.col("src").alias("cur"), F.col("dst").alias("x")), "cur")
+        .join(
+            s1.select(
+                F.col("src").alias("prev"), F.col("dst").alias("x"),
+                F.lit(1).alias("is_in"),
+            ),
+            ["prev", "x"],
+            "left",
+        )
+        .select(
+            "prev",
+            "cur",
+            "x",
+            F.when(F.col("x") == F.col("prev"), F.lit(w_ret))
+            .when(F.col("is_in").isNotNull(), F.lit(w_in))
+            .otherwise(F.lit(w_out))
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    win = Window.partitionBy("prev", "cur")
+    slot = tri.select(
+        "prev",
+        "cur",
+        "x",
+        "w",
+        F.sum("w").over(win.orderBy("x")).alias("cum"),
+        F.sum("w").over(win).alias("wtot"),
+    )
+    # landing row carries the NEXT key's modulus W(cur, x) so the walker
+    # never needs a separate degree join (same trick as random_walks)
+    wtab = slot.select("prev", "cur", "wtot").distinct()
+    adj2 = (
+        slot.join(
+            wtab.select(
+                F.col("prev").alias("cur"),
+                F.col("cur").alias("x"),
+                F.col("wtot").alias("wnext"),
+            ),
+            ["cur", "x"],
+        )
+        .select(
+            F.col("prev").alias("a_prev"),
+            F.col("cur").alias("a_cur"),
+            F.explode(F.sequence(F.col("cum") - F.col("w"), F.col("cum") - 1)).alias(
+                "a_idx"
+            ),
+            F.col("x").alias("a_dst"),
+            F.col("wnext").alias("a_wnext"),
+        )
+        .repartition(graph.num_partitions, "a_prev", "a_cur", "a_idx")
+        .persist()
+    )
+
+    # hop 1: uniform first-order over the dst-ranked adjacency, landing with
+    # the second-order modulus W(start, nbr)
+    adj1 = indexed_adjacency(graph)
+    deg = adj1.select(F.col("src").alias("vertex"), "deg").distinct()
+    start = deg.select(F.col("vertex").alias("walk_id"), "vertex", "deg")
+    levels = [start.select("walk_id", F.lit(0).alias("step"), F.col("vertex"))]
+    hop1 = adj1.join(
+        wtab.select(
+            F.col("prev").alias("src"), F.col("cur").alias("dst"),
+            F.col("wtot").alias("wnext"),
+        ),
+        ["src", "dst"],
+    )
+    picked = start.select(
+        "walk_id",
+        F.col("vertex").alias("src"),
+        _mix(mixer, F.col("walk_id"), 1, F.col("vertex"), F.col("deg")).alias("idx"),
+    )
+    cur = picked.hint("shuffle_hash").join(hop1, ["src", "idx"]).select(
+        "walk_id",
+        F.col("src").alias("prev"),
+        F.col("dst").alias("vertex"),
+        F.col("wnext"),
+    )
+    cur = truncate_lineage(cur)
+    levels.append(cur.select("walk_id", F.lit(1).alias("step"), "vertex"))
+
+    for s in range(2, walk_len + 1):
+        picked = cur.select(
+            "walk_id",
+            F.col("prev").alias("a_prev"),
+            F.col("vertex").alias("a_cur"),
+            _mix(mixer, F.col("walk_id"), s, F.col("vertex"), F.col("wnext")).alias(
+                "a_idx"
+            ),
+        )
+        cur = picked.hint("shuffle_hash").join(
+            adj2, ["a_prev", "a_cur", "a_idx"]
+        ).select(
+            "walk_id",
+            F.col("a_cur").alias("prev"),
+            F.col("a_dst").alias("vertex"),
+            F.col("a_wnext").alias("wnext"),
+        )
+        if s % checkpoint_every == 0:
+            cur = truncate_lineage(cur)
+        levels.append(cur.select("walk_id", F.lit(s).alias("step"), "vertex"))
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
 def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     """Walk trace → (center, context, n_cooc): co-occurrence counts of vertex
     pairs within ±window steps on the same walk (both directions, the

@@ -165,3 +165,91 @@ def test_skipgram_pairs_match_trace_recount(spark):
                 if sa != sb and abs(sa - sb) <= window:
                     want[(va, vb)] += 1
     assert got == dict(want)
+
+
+def _node2vec_oracle(pairs, walk_len, p, q, mix):
+    """Pure-Python second-order replay: integer slot expansion of the
+    {1/p, 1, 1/q} node2vec weights, dst-ordered slots, affine pick."""
+    from fractions import Fraction
+    from math import lcm
+
+    a_ret, a_out = 1 / Fraction(str(p)), 1 / Fraction(str(q))
+    scale = lcm(a_ret.denominator, a_out.denominator)
+    w_ret, w_in, w_out = int(a_ret * scale), int(scale), int(a_out * scale)
+    adj = _adj_oracle(pairs)
+    trace = []
+    for start in adj:
+        trace.append((start, 0, start))
+        ns = adj[start]
+        prev, cur = start, ns[mix(start, 1, start) % len(ns)]
+        trace.append((start, 1, cur))
+        for s in range(2, walk_len + 1):
+            slots = []
+            for x in adj[cur]:
+                w = w_ret if x == prev else (w_in if x in adj[prev] else w_out)
+                slots.extend([x] * w)
+            nxt = slots[mix(start, s, cur) % len(slots)]
+            prev, cur = cur, nxt
+            trace.append((start, s, cur))
+    return sorted(trace)
+
+
+def test_node2vec_affine_matches_python_oracle(spark):
+    from sparkgraph.algorithms.walks import node2vec_walks
+
+    walk_len, p, q = 6, 2, 3
+    got = sorted(
+        (r.walk_id, r.step, r.vertex)
+        for r in node2vec_walks(
+            _graph(spark, GRAPH_MAIN), walk_len, p=p, q=q, mixer="affine"
+        ).collect()
+    )
+    assert got == _node2vec_oracle(GRAPH_MAIN, walk_len, p, q, _affine)
+
+
+def test_node2vec_fractional_pq_and_validity(spark):
+    from sparkgraph.algorithms.walks import node2vec_walks
+
+    walk_len, p, q = 5, 0.25, 2
+    got = sorted(
+        (r.walk_id, r.step, r.vertex)
+        for r in node2vec_walks(
+            _graph(spark, GRAPH_MAIN), walk_len, p=p, q=q, mixer="affine"
+        ).collect()
+    )
+    assert got == _node2vec_oracle(GRAPH_MAIN, walk_len, p, q, _affine)
+    adj = _adj_oracle(GRAPH_MAIN)
+    by_walk: dict[int, dict[int, int]] = {}
+    for w, s, v in got:
+        by_walk.setdefault(w, {})[s] = v
+    for w, steps in by_walk.items():
+        assert steps[0] == w and len(steps) == walk_len + 1
+        for s in range(1, walk_len + 1):
+            assert steps[s] in adj[steps[s - 1]]  # every hop is a real edge
+
+
+def test_node2vec_unit_pq_reduces_to_first_order(spark):
+    """p = q = 1 makes all three weights equal, so the slot table collapses
+    to one dst-ranked slot per neighbor — bit-identical to random_walks."""
+    from sparkgraph.algorithms.walks import node2vec_walks
+
+    walk_len = 6
+    g = _graph(spark, GRAPH_MAIN)
+    n2v = sorted(
+        (r.walk_id, r.step, r.vertex)
+        for r in node2vec_walks(g, walk_len, p=1, q=1, mixer="affine").collect()
+    )
+    first = sorted(
+        (r.walk_id, r.step, r.vertex)
+        for r in random_walks(g, walk_len, mixer="affine").collect()
+    )
+    assert n2v == first
+
+
+def test_node2vec_max_degree_guard(spark):
+    import pytest
+
+    from sparkgraph.algorithms.walks import node2vec_walks
+
+    with pytest.raises(ValueError, match="max_degree"):
+        node2vec_walks(_graph(spark, GRAPH_MAIN), 2, max_degree=2)
