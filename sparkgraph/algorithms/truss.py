@@ -6,12 +6,15 @@ standard cohesive-subgraph notion one step stronger than k-core (Cohen 2008).
 On a dependency graph it isolates genuinely interlocked module clusters
 where plain components/cores over-merge.
 
-Each peel round recounts support on the LIVE edge set via degree-oriented
-triangle enumeration (oriented out-degree O(√E) — no hub wedge blow-up, the
-same discipline as triangle_count/local_clustering), drops weak edges, and
-stops at the fixpoint. Rounds ≤ peel depth; every round is a full triangle
-pass, so this is the heaviest per-round operator in the engine — documented,
-not hidden.
+Support is computed ONCE via degree-oriented triangle enumeration (oriented
+out-degree O(√E) — no hub wedge blow-up, the same discipline as
+triangle_count/local_clustering) and then maintained INCREMENTALLY: each
+peel round enumerates only the triangles incident to the edges dropped that
+round (one adjacency expansion + one semi-join, deduped per triangle) and
+decrements the support of their surviving member edges. Round cost is
+O(affected wedges), not O(full triangle pass) — the bulk-peel drop sequence
+is identical to a full recount (support after the decrement equals a fresh
+count on the shrunken graph), so results are bit-equal round-by-round.
 """
 
 from __future__ import annotations
@@ -67,28 +70,67 @@ def k_truss(graph: Graph, k: int, max_iter: int = 100) -> PregelResult:
     loop = SuperstepLoop("k_truss", {"k": k, "max_iter": max_iter})
     e = truncate_lineage(graph.simple_undirected())
     need = k - 2
+    # one full enumeration builds the initial support; every later round only
+    # touches triangles incident to that round's dropped edges
+    support = _triangle_corner_edges(e).groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    es = truncate_lineage(
+        e.join(support, ["u", "v"], "left").select(
+            "u", "v", F.coalesce("s", F.lit(0)).alias("s")
+        )
+    )
     step = 0
     converged = False
     while step < max_iter:
         loop.step_started()
-        support = _triangle_corner_edges(e).groupBy("u", "v").agg(
-            F.count(F.lit(1)).alias("s")
-        )
-        kept = truncate_lineage(
-            e.join(support, ["u", "v"], "left").filter(
-                F.coalesce("s", F.lit(0)) >= need
-            ).select("u", "v")
-        )
-        n_before = e.count()
-        n_after = kept.count()
+        weak = truncate_lineage(es.filter(F.col("s") < need).select("u", "v"))
+        n_weak = weak.count()
         step += 1
-        loop.step_done(kept, step, changed=n_before - n_after)
-        e = kept
-        if n_after == n_before:
+        if n_weak == 0:
+            loop.step_done(es, step, changed=0)
             converged = True
             break
-        if n_after == 0:
+        live = es.join(weak, ["u", "v"], "left_anti")
+        # triangles of the PRE-drop graph containing >= 1 weak edge: expand
+        # one endpoint's adjacency, confirm the closing edge, dedupe per
+        # canonical triple (a triangle with 2-3 weak member edges must
+        # decrement each survivor exactly once)
+        sym = es.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+            es.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+        t1 = weak.join(
+            sym.select(F.col("a").alias("u"), F.col("b").alias("w")), "u"
+        )
+        t2 = t1.join(
+            sym.select(F.col("a").alias("v"), F.col("b").alias("w")),
+            ["v", "w"],
+            "left_semi",
+        )
+        tris = (
+            t2.select(F.array_sort(F.array("u", "v", "w")).alias("t"))
+            .distinct()
+            .select(
+                F.col("t")[0].alias("x"),
+                F.col("t")[1].alias("y"),
+                F.col("t")[2].alias("z"),
+            )
+        )
+        members = (
+            tris.select(F.col("x").alias("u"), F.col("y").alias("v"))
+            .unionByName(tris.select(F.col("y").alias("u"), F.col("z").alias("v")))
+            .unionByName(tris.select(F.col("x").alias("u"), F.col("z").alias("v")))
+        )
+        dec = members.groupBy("u", "v").agg(F.count(F.lit(1)).alias("d"))
+        es = truncate_lineage(
+            live.join(dec, ["u", "v"], "left").select(
+                "u", "v", (F.col("s") - F.coalesce("d", F.lit(0))).alias("s")
+            )
+        )
+        loop.step_done(es, step, changed=n_weak)
+        if es.isEmpty():
             converged = True
             break
 
-    return loop.finish(e, step, converged, result=e)
+    out = es.select("u", "v")
+    return loop.finish(out, step, converged, result=out)

@@ -219,28 +219,39 @@ def ivf_train(
     from the k lowest-id vectors, a FIXED number of Lloyd iterations, and
     centroids rounded to 6 dp per iteration (absorbs shuffle-order float
     noise so assignments are reproducible). Only k×dim floats ever reach the
-    driver — assignment and the per-cluster mean stay distributed."""
+    driver — assignment and the per-cluster mean stay distributed.
+
+    The projected (id, vector) input is persisted ONCE for the whole training
+    run: each Lloyd iteration re-runs only the Arrow assignment matmul + the
+    mean aggregation against cached data instead of re-scanning the source.
+    (Normalization stays inside the numpy kernel on purpose — moving it to a
+    JVM expression would change summation order by an ulp and could flip
+    near-tie argmax assignments that the 6 dp centroid rounding pins.)"""
     from pyspark.sql import functions as F
 
-    seeds = (
-        df.orderBy(id_col).limit(k).select(vec_col).collect()
-    )
-    centroids = [[round(float(x), 6) for x in r[0]] for r in seeds]
-    for _ in range(iters):
-        assigned = ivf_assign(df, centroids, id_col, vec_col)
-        means = (
-            assigned.select(
-                "cluster", F.posexplode(F.col(vec_col).cast("array<double>"))
-            )
-            .groupBy("cluster", "pos")
-            .agg(F.avg("col").alias("m"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
-            .select("cluster", F.col("ms.m").alias("centroid"))
-            .collect()
+    cached = df.select(id_col, vec_col).persist()
+    try:
+        seeds = (
+            cached.orderBy(id_col).limit(k).select(vec_col).collect()
         )
-        new = {r.cluster: [round(float(x), 6) for x in r.centroid] for r in means}
-        centroids = [new.get(c, centroids[c]) for c in range(k)]
+        centroids = [[round(float(x), 6) for x in r[0]] for r in seeds]
+        for _ in range(iters):
+            assigned = ivf_assign(cached, centroids, id_col, vec_col)
+            means = (
+                assigned.select(
+                    "cluster", F.posexplode(F.col(vec_col).cast("array<double>"))
+                )
+                .groupBy("cluster", "pos")
+                .agg(F.avg("col").alias("m"))
+                .groupBy("cluster")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
+                .select("cluster", F.col("ms.m").alias("centroid"))
+                .collect()
+            )
+            new = {r.cluster: [round(float(x), 6) for x in r.centroid] for r in means}
+            centroids = [new.get(c, centroids[c]) for c in range(k)]
+    finally:
+        cached.unpersist()
     return centroids
 
 

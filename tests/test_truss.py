@@ -54,3 +54,42 @@ def test_truss_random_graphs_match_oracle(spark):
             got = {(r.u, r.v) for r in res.state.collect()}
             assert got == _truss_oracle(pairs, k), (trial, k)
         g.unpersist()
+
+
+def _truss_rounds_oracle(pairs, k):
+    """Bulk-peel rounds (edge-sets after each drop round) — the round-by-round
+    trajectory a full support recount would produce."""
+    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    rounds = []
+    while True:
+        adj = defaultdict(set)
+        for u, v in edges:
+            adj[u].add(v)
+            adj[v].add(u)
+        weak = {(u, v) for u, v in edges if len(adj[u] & adj[v]) < k - 2}
+        if not weak:
+            return edges, rounds
+        edges -= weak
+        rounds.append(set(edges))
+
+
+def test_truss_deep_peel_matches_full_recount_trajectory(spark):
+    """Peel-heavy fixture (random graph chosen for a 13-round cascade): the
+    incremental support maintenance must reproduce the exact bulk-peel drop
+    sequence of a full per-round recount — same final truss, same number of
+    drop rounds — while each round only enumerates triangles incident to
+    that round's dropped edges."""
+    rnd = random.Random(214)
+    pairs = sorted(
+        {(a, b) for a, b in ((rnd.randrange(24), rnd.randrange(24)) for _ in range(110)) if a != b}
+    )
+    g = Graph(edges_from_pairs(spark, pairs), num_partitions=4)
+    want_final, want_rounds = _truss_rounds_oracle(pairs, 4)
+    res = k_truss(g, 4)
+    assert res.converged
+    got = {(r.u, r.v) for r in res.state.collect()}
+    assert got == want_final and len(want_final) > 0
+    # incremental peel takes the same number of drop rounds (+1 fixpoint check)
+    assert res.supersteps == len(want_rounds) + 1
+    assert len(want_rounds) >= 10  # the fixture actually peels deep
+    g.unpersist()
