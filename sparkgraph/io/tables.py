@@ -73,9 +73,15 @@ class TableIO:
         return k
 
     def load(self, name: str, version: int | None = None) -> DataFrame:
-        """GET: newest snapshot by default; any retained snapshot by number."""
+        """GET: newest snapshot by default; any retained snapshot by number.
+        On the catalog branch, ``version`` maps to Spark's DSv2 time-travel
+        read option (``versionAsOf`` — the ``VERSION AS OF`` SQL form), so
+        both branches answer the same time-travel contract."""
         if self.catalog:
-            return self.spark.read.table(f"{self.catalog}.{name}")
+            reader = self.spark.read
+            if version is not None:
+                reader = reader.option("versionAsOf", version)
+            return reader.table(f"{self.catalog}.{name}")
         k = version if version is not None else self.latest_version(name)
         if k is None:
             raise FileNotFoundError(f"table {name!r} has no snapshots under {self.root}")

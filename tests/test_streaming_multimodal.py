@@ -116,3 +116,55 @@ def test_sample_frames(spark):
     # video ids are 2,5,8 with n_frames 102,105,108
     assert by_id[2] == [0, 25, 50, 75, 100]
     assert all(i % 25 == 0 for idx in by_id.values() for i in idx)
+
+
+def test_bmp_backend_real_decode_roundtrip(spark):
+    """Real codec path: deterministic RGB images -> BMP bytes -> Spark
+    image_features with BmpDecodeBackend -> exact float64 mean/std."""
+    import numpy as np
+
+    from sparkgraph.multimodal import BmpDecodeBackend, encode_bmp, image_features
+
+    rng = np.random.RandomState(42)
+    rows, want = [], {}
+    for i, (w, h) in enumerate([(5, 3), (17, 9), (32, 32), (1, 1)]):
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        data = encode_bmp(px)
+        # decoder round-trips the exact pixels (incl. row padding, BGR flip)
+        back = BmpDecodeBackend().decode_image(data, w, h, 3)
+        assert back.shape == (h, w, 3) and (back == px.astype(np.float32)).all()
+        meta = {"width": w, "height": h, "channels": 3, "sample_rate": 0, "n_frames": 0}
+        rows.append((i, "image", bytearray(data), meta))
+        f = px.astype(np.float64)
+        want[i] = (f.mean(), f.std(), w, h)
+    from sparkgraph.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r.media_id: (r.mean, r.std, r.width, r.height)
+        for r in image_features(df, backend=BmpDecodeBackend()).collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][2:] == want[i][2:]
+        assert abs(got[i][0] - want[i][0]) < 1e-9, i
+        assert abs(got[i][1] - want[i][1]) < 1e-9, i
+
+
+def test_bmp_backend_top_down_and_rejects(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkgraph.multimodal import BmpDecodeBackend, encode_bmp
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    data = bytearray(encode_bmp(px))
+    # flip to top-down: negate height, reverse row order in the body
+    data[22:26] = (-2).to_bytes(4, "little", signed=True)
+    stride = (3 * 3 + 3) & ~3
+    body = bytes(data[54:])
+    data[54:] = body[stride:] + body[:stride]
+    back = BmpDecodeBackend().decode_image(bytes(data), 3, 2, 3)
+    assert (back == px.astype(np.float32)).all()
+    with _pytest.raises(ValueError, match="not a BMP"):
+        BmpDecodeBackend().decode_image(b"nope", 1, 1, 3)

@@ -32,6 +32,10 @@ class _FakeReader:
     def __init__(self, log):
         self.log = log
 
+    def option(self, k, v):
+        self.log.append(("read.option", k, v))
+        return self
+
     def table(self, ident):
         self.log.append(("read.table", ident))
         return mock.sentinel.table_df
@@ -65,6 +69,17 @@ def test_catalog_load_reads_table(io_and_log):
     df = io.load("edges")
     assert df is mock.sentinel.table_df
     assert log == [("read.table", "ice.db.edges")]
+
+
+def test_catalog_load_time_travel_uses_version_as_of(io_and_log):
+    """load(version=...) must reach the catalog as the DSv2 time-travel
+    option (VERSION AS OF) — both TableIO branches answer the same
+    time-travel contract (the parquet branch's v=<k> read is integration-
+    tested in test_tables_weighted.py)."""
+    io, log = io_and_log
+    df = io.load("edges", version=7)
+    assert df is mock.sentinel.table_df
+    assert log == [("read.option", "versionAsOf", 7), ("read.table", "ice.db.edges")]
 
 
 def test_catalog_drop_issues_drop_table(io_and_log):
