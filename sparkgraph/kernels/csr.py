@@ -23,12 +23,14 @@ rebroadcasts. In ``combine="shuffle"`` mode the per-dst sum itself stays
 distributed (groupBy before packing), so the driver's work is a single
 assignment scatter over ≤ V unique indices.
 
-Scale envelope: this kernel materializes the dense state vector on the driver
-and broadcasts it each superstep — the deliberate FAST PATH for graphs up to
-~10⁷–10⁸ vertices (80 MB–800 MB vector; the constructor raises beyond the
-configurable bound). The relational engine (sparkgraph.algorithms.pagerank)
-is the 100 TB path: state never leaves the cluster. Both produce identical
-results (tested to 1e-12).
+Scale envelope — this is a FAST PATH, not the scale path: the kernel
+materializes the dense state vector on the driver and broadcasts it each
+superstep, so its contract is graphs up to 10⁷ vertices (80 MB vector — the
+measured-safe bound on this class of driver; the constructor raises beyond
+it, callers may consciously raise the limit to ~10⁸/800 MB where their
+driver allows). The relational engine (sparkgraph.algorithms.pagerank) is
+the 100 TB path: state never leaves the cluster, and it is what the CLI and
+gate use by default. Both produce identical results (tested to 1e-12).
 """
 
 from __future__ import annotations
@@ -124,7 +126,7 @@ class PackedGraph:
     per-partition index arrays, sized by edge volume."""
 
     def __init__(self, graph: Graph, target_edges_per_partition: int = 2_000_000,
-                 max_broadcast_vertices: int = 100_000_000):
+                 max_broadcast_vertices: int = 10_000_000):
         self.graph = graph
         self.ids = np.sort(graph.vertices.toPandas()["id"].to_numpy(dtype=np.int64))
         self.n = len(self.ids)
@@ -155,12 +157,14 @@ def pagerank_csr(
     tol: float = 1e-6,
     max_iter: int = 200,
     damping: float = 0.85,
-    max_broadcast_vertices: int = 100_000_000,
+    max_broadcast_vertices: int = 10_000_000,
     target_edges_per_partition: int = 2_000_000,
     combine: str = "auto",
 ) -> PregelResult:
-    """PageRank on CSR-packed partitions with a broadcast state vector.
-    Same semantics/signature as ``algorithms.pagerank`` (reference +
+    """PageRank FAST PATH on CSR-packed partitions with a broadcast state
+    vector — single-box/moderate-graph accelerator, ≤ 10⁷ vertices by
+    contract (see module docstring; ``algorithms.pagerank`` is the scale
+    path). Same semantics/signature as ``algorithms.pagerank`` (reference +
     convergence modes); returns state ``(id, value)``.
     """
     if mode not in ("reference", "convergence"):
