@@ -979,6 +979,61 @@ w0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur FROM verts)"""
     return "WITH " + prefix + ",\n" + ",\n".join(ctes) + "\n" + union
 
 
+# alpha chosen INSIDE the contraction envelope for the gate graph
+# (alpha * max_deg ~ 2.7): values stay O(1), so the 9 dp round is robust to
+# cross-engine summation-order ulps (0.05 grew scores to ~1e5 where a 9 dp
+# round is beyond double's cross-engine stability)
+KATZ_ALPHA, KATZ_ITERS = 0.005, 10
+
+
+def _katz_sql(alpha: float, iters: int) -> str:
+    """Closed-form twin of algorithms.katz: x ← β + α·Aᵀx from x₀ = 0 on the
+    symmetrized multigraph, unrolled."""
+    ctes = ["x0 AS MATERIALIZED (SELECT id, 0.0 AS v FROM verts)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""x{k} AS MATERIALIZED (
+  SELECT t.id, 1.0 + {alpha} * COALESCE(m.s, 0) AS v
+  FROM verts t LEFT JOIN (
+    SELECT sym.dst AS id, SUM(p.v) AS s
+    FROM sym JOIN x{k-1} p ON sym.src = p.id GROUP BY sym.dst
+  ) m ON t.id = m.id
+)"""
+        )
+    return (
+        "WITH " + _BIP_CTE + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(v, 9) AS score FROM x{iters}"
+    )
+
+
+def _pii_scrub_sql() -> str:
+    """Twin of text.pii_scrub over PII-injected documents: same RE2-safe
+    patterns (no lookarounds, literal in DuckDB single-quoted strings), same
+    fixed replacement order; sha256 of the redacted text pins the full
+    redaction byte-for-byte."""
+    from sparkgraph.text import PII_PATTERNS
+
+    clean = "text"
+    for name, pat in PII_PATTERNS.items():
+        clean = f"regexp_replace({clean}, '{pat}', '<{name.upper()}>', 'g')"
+    counts = ",\n  ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 call 555-123-4567' AS text
+  FROM documents
+)
+SELECT doc_id,
+  {counts},
+  sha256({clean}) AS clean_sha
+FROM injected"""
+
+
 N2V_P, N2V_Q = 2, 3  # exercises all three weight classes (slots 3 / 6 / 2)
 
 
@@ -1632,6 +1687,50 @@ def _q_walk_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipgram_pairs(random_walks(g, WALK_LEN, mixer="affine"), window=WALK_WINDOW)
 
 
+def _q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.algorithms import katz_centrality
+
+    g = Graph(bipartite_edges(spark, sf_dir))
+    res = katz_centrality(g, alpha=KATZ_ALPHA, iterations=KATZ_ITERS)
+    return res.state.select("id", F.round("value", 9).alias("score"))
+
+
+TFIDF_K = 5
+
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.text import tfidf_top_terms
+
+    docs = _read(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=TFIDF_K)
+
+
+# deterministic PII injection shared by the Spark query and the SQL twin, so
+# the redaction path is exercised on every row (the synthetic corpus itself
+# carries no PII)
+_PII_SUFFIX = (
+    " contact user{id}@example.com from 10.0.{oct}.7 call 555-123-4567"
+)
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.text import pii_scrub
+
+    docs = _read(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555-123-4567"),
+        ).alias("text"),
+    )
+    return pii_scrub(injected)
+
+
 def _q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gate runs on the even-id induced subgraph: the second-order slot table
     # is Σ deg² rows (node2vec's alias-table footprint — inherent to exact
@@ -1890,6 +1989,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_documents": _q_simhash_pairs,
         # -- new this round -----------------------------------------------
         "node2vec_bipartite": _q_node2vec,
+        "katz_bipartite": _q_katz,
+        "tfidf_documents": _q_tfidf,
+        "pii_scrub_documents": _q_pii_scrub,
         # -- graph core ---------------------------------------------------
         "pagerank_bipartite": _q_pagerank,
         "pagerank_tol_bipartite": _q_pagerank_tol,
@@ -1964,6 +2066,28 @@ def oracle_sql() -> dict[str, str]:
         "eccentricity_bipartite": _eccentricity_sql(BETW_PIVOTS, BETW_DEPTH),
         "mis_bipartite": _mis_sql(MIS_ROUNDS),
         "node2vec_bipartite": _node2vec_sql(WALK_LEN, N2V_P, N2V_Q),
+        "katz_bipartite": _katz_sql(KATZ_ALPHA, KATZ_ITERS),
+        "tfidf_documents": f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * (LN((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TFIDF_K}""",
+        "pii_scrub_documents": _pii_scrub_sql(),
         "random_walks_bipartite": _walks_sql(WALK_LEN),
         "walk_skipgram_bipartite": _skipgram_sql(WALK_LEN, WALK_WINDOW),
         "weighted_walks_bipartite": _weighted_walks_sql(WALK_LEN),

@@ -472,3 +472,81 @@ def simhash_pairs(
         cand.select("a", "b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (corpus-relative term weighting)
+
+TFIDF_TOKEN_RE = r"[a-z0-9]+"
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms: tokenize (lowercased letter/digit
+    runs — deliberately engine-portable), tf = in-doc term count,
+    idf = ln((N+1)/(df+1)) + 1 (smoothed), score = tf·idf rounded to 6 dp,
+    ties broken by term ascending.
+
+    Scale shape: tf is one (doc, term) groupBy (map-side combined); document
+    frequency aggregates the tf table by term — vocabulary-sized, so the
+    idf join back onto tf broadcasts; the final top-k is a per-doc window
+    over k·docs rows. All JVM-side."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TFIDF_TOKEN_RE), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(id_col).distinct().count()
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        F.col(id_col),
+        "term",
+        F.round(
+            F.col("tf")
+            * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0)),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-corpus hygiene)
+
+# Conservative RE2-compatible patterns (portable across Spark/Java regex and
+# DuckDB/RE2 — no lookarounds), applied in dict order: emails first so an
+# address's host part can't later half-match the IP pattern.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_email, n_ipv4, n_phone, clean_sha): per-class PII match counts
+    on the original text plus sha256 of the text with every match replaced by
+    ``<EMAIL>``/``<IPV4>``/``<PHONE>`` (fixed application order). Pure
+    column math — one pass, no shuffle; the sha pins the full redacted
+    content so a value-match proves the redaction byte-for-byte."""
+    c = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    clean = c
+    for name, pat in PII_PATTERNS.items():
+        clean = F.regexp_replace(clean, pat, f"<{name.upper()}>")
+    return df.select(F.col(id_col), *counts, F.sha2(clean, 256).alias("clean_sha"))
