@@ -6,7 +6,7 @@ the new engine's extras, shippable via spark-submit:
     python -m sparkgraph.cli pagerank --input edges.txt            # local
 
 Subcommands: pagerank | sssp | cc | scc | lpa | triangles | hits | kcore |
-closeness | walks | stats | ingest.
+closeness | katz | walks (first-order or node2vec --p/--q) | stats | ingest.
 Input: an edge-list text file (reference format), a parquet edge table
 (src,dst[,weight]), or — for ``ingest`` — a sources table
 (repo,path,commit,lang,content) from which the code graph is derived.
@@ -78,6 +78,14 @@ def main(argv: list[str] | None = None) -> int:
     common(wk)
     wk.add_argument("--walk-len", type=int, default=10)
     wk.add_argument("--mixer", choices=["xxhash", "affine"], default="xxhash")
+    wk.add_argument("--p", type=float, default=None,
+                    help="node2vec return parameter (with --q: second-order walks)")
+    wk.add_argument("--q", type=float, default=None,
+                    help="node2vec in-out parameter")
+    kz = sub.add_parser("katz")
+    common(kz)
+    kz.add_argument("--alpha", type=float, default=0.005)
+    kz.add_argument("--iterations", type=int, default=10)
     ing = sub.add_parser("ingest")
     ing.add_argument("--master", default=None)
     ing.add_argument("--input", required=True, help="sources table (parquet)")
@@ -180,13 +188,26 @@ def main(argv: list[str] | None = None) -> int:
                 "n_components": n_comp,
             }))
             return 0
+        elif args.cmd == "katz":
+            from sparkgraph.algorithms import katz_centrality
+            res = katz_centrality(g, alpha=args.alpha, iterations=args.iterations)
+            out = res.state
         elif args.cmd == "closeness":
             from sparkgraph.algorithms import harmonic_closeness_sampled
             res = harmonic_closeness_sampled(g, k=args.pivots)
             out = res.state.withColumnRenamed("closeness", "value")
         elif args.cmd == "walks":
             from sparkgraph.algorithms import random_walks
-            trace = random_walks(g, args.walk_len, mixer=args.mixer)
+            from sparkgraph.algorithms.walks import node2vec_walks
+            if (args.p is None) != (args.q is None):
+                print("--p and --q must be given together", file=sys.stderr)
+                return 2
+            if args.p is not None:
+                trace = node2vec_walks(
+                    g, args.walk_len, p=args.p, q=args.q, mixer=args.mixer
+                )
+            else:
+                trace = random_walks(g, args.walk_len, mixer=args.mixer)
             if args.output:
                 trace.write.mode("overwrite").parquet(args.output)
             n = trace.count()

@@ -1,6 +1,6 @@
 """Document-table operators for training-data pipelines: fingerprinting,
 dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), language-ID heuristic,
-quality scoring, token counting.
+quality scoring, token counting, TF-IDF term weighting, PII scrubbing.
 
 No analogue in the reference (SURVEY.md §2C) — added surface required for the
 engine to be useful as a 100 TB corpus processor. Everything stays JVM-side
