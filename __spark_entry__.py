@@ -1731,6 +1731,48 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(injected)
 
 
+DEDUP_CC_ITERS = 8  # ≥ near-dup cluster diameter at gate scale
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.text import dedup_clusters
+
+    return dedup_clusters(_read(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _dedup_clusters_sql(cc_iters: int) -> str:
+    """Twin of text.dedup_clusters: the exact-Jaccard pair graph (same CTE as
+    the minhash gate's oracle — LSH recall is 1.0 on the planted near-dups)
+    + unrolled hash-min CC + min-id representative election."""
+    base = _JACCARD_SQL.split("SELECT a, b, ROUND")[0].rstrip().rstrip(")")
+    ctes = [
+        """pairs AS MATERIALIZED (
+  SELECT a, b
+  FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+  WHERE ROUND(i / (sa.sz + sb.sz - i), 6) >= 0.5
+),
+dverts AS MATERIALIZED (SELECT DISTINCT doc_id AS id FROM documents),
+dsym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b AS src, a AS dst FROM pairs
+),
+c0 AS MATERIALIZED (SELECT id, id AS lbl FROM dverts)"""
+    ]
+    for k in range(1, cc_iters + 1):
+        ctes.append(
+            f"""c{k} AS MATERIALIZED (
+  SELECT c.id, LEAST(c.lbl, COALESCE(m.ml, c.lbl)) AS lbl
+  FROM c{k-1} c LEFT JOIN (
+    SELECT dsym.dst AS id, MIN(p.lbl) AS ml
+    FROM dsym JOIN c{k-1} p ON dsym.src = p.id GROUP BY dsym.dst
+  ) m ON c.id = m.id
+)"""
+        )
+    return (
+        base + "),\n" + ",\n".join(ctes)
+        + f"\nSELECT id AS doc_id, lbl AS cluster_id, (id = lbl) AS is_rep FROM c{cc_iters}"
+    )
+
+
 def _q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gate runs on the even-id induced subgraph: the second-order slot table
     # is Σ deg² rows (node2vec's alias-table footprint — inherent to exact
@@ -1992,6 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_bipartite": _q_katz,
         "tfidf_documents": _q_tfidf,
         "pii_scrub_documents": _q_pii_scrub,
+        "dedup_clusters_documents": _q_dedup_clusters,
         # -- graph core ---------------------------------------------------
         "pagerank_bipartite": _q_pagerank,
         "pagerank_tol_bipartite": _q_pagerank_tol,
@@ -2088,6 +2131,7 @@ ranked AS (
 SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {TFIDF_K}""",
         "pii_scrub_documents": _pii_scrub_sql(),
+        "dedup_clusters_documents": _dedup_clusters_sql(DEDUP_CC_ITERS),
         "random_walks_bipartite": _walks_sql(WALK_LEN),
         "walk_skipgram_bipartite": _skipgram_sql(WALK_LEN, WALK_WINDOW),
         "weighted_walks_bipartite": _weighted_walks_sql(WALK_LEN),

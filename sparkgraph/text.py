@@ -550,3 +550,44 @@ def pii_scrub(
     for name, pat in PII_PATTERNS.items():
         clean = F.regexp_replace(clean, pat, f"<{name.upper()}>")
     return df.select(F.col(id_col), *counts, F.sha2(clean, 256).alias("clean_sha"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """The corpus-dedup END PRODUCT: assign every document a near-dup cluster
+    and elect one representative to keep. Composition of the two scale paths
+    already in the engine — banded MinHash-LSH + exact-Jaccard verify for the
+    pair graph, then hash-min connected components over it — so cluster ids
+    are the MIN doc id of each near-dup group and ``is_rep`` marks the kept
+    doc (singletons keep themselves).
+
+    Returns ``(id_col, cluster_id, is_rep)``, one row per input document.
+    Downstream: ``filter(is_rep)`` is the deduplicated corpus; a join on
+    ``cluster_id`` recovers the duplicate groups."""
+    from sparkgraph.algorithms import connected_components
+    from sparkgraph.graph import Graph
+
+    pairs = minhash_lsh_neardup_pairs(
+        df, id_col, text_col, n, num_hashes, bands, threshold, max_bucket_size
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    docs = df.select(F.col(id_col).alias("id")).distinct()
+    if pairs.isEmpty():
+        labeled = docs.select("id", F.col("id").alias("component"))
+    else:
+        labeled = connected_components(Graph(pairs)).state
+    return (
+        docs.join(labeled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("component", "id").alias("cluster_id"),
+        )
+        .withColumn("is_rep", F.col(id_col) == F.col("cluster_id"))
+    )

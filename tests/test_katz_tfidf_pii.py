@@ -112,3 +112,33 @@ def test_pii_scrub_counts_and_redaction_sha(spark):
     assert got[1][0] == 1 and got[1][2] == 1
     assert got[2][1] == 3  # 999.1.2.3 still matches the shape pattern
     assert got[4] == (2, 1, 1, got[4][3])
+
+
+def test_dedup_clusters_end_to_end(spark):
+    """Planted near-dup chains collapse to min-id clusters; singletons keep
+    themselves; filter(is_rep) is the deduplicated corpus."""
+    from sparkgraph.text import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    docs = [
+        (10, base),
+        (11, base + " extra"),            # near-dup of 10
+        (12, base + " extra tail"),       # near-dup of 11 (chain)
+        (20, "completely different words about graphs and engines here"),
+        (21, "completely different words about graphs and engines here now"),
+        (30, "a singleton document with its very own unique content plus"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.cluster_id, r.is_rep)
+        for r in dedup_clusters(df, threshold=0.5).collect()
+    }
+    assert len(got) == len(docs)
+    # chains merged transitively to the min id
+    assert got[10] == (10, True) and got[11] == (10, False) and got[12] == (10, False)
+    assert got[20] == (20, True) and got[21] == (20, False)
+    assert got[30] == (30, True)
+    # no near-dup pairs at all -> everyone is their own rep
+    solo = spark.createDataFrame(docs[3:], "doc_id long, text string").filter("doc_id >= 30")
+    got2 = {r.doc_id: r.is_rep for r in dedup_clusters(solo).collect()}
+    assert got2 == {30: True}
