@@ -68,9 +68,11 @@ print("RESULT " + json.dumps(out))
 def run_level(cores: int, edges: int, verts: int, iters: int, combine: str = "auto") -> dict:
     code = _CHILD.format(repo=REPO, cores=cores, edges=edges, verts=verts, iters=iters, combine=combine)
     env = dict(os.environ)
-    # heap sized to the data (≈0.5 GB per 1M input edges, min 4g): small heaps
-    # GC-stall the loop, undersized ones OOM the aggregation spill
-    env["SPARK_GRAFT_DRIVER_MEM"] = f"{max(4, edges // 2_000_000)}g"
+    # heap sized to the data (min 6g): the child runs THREE kernels in one
+    # session (relational eager + lazy + CSR) and the accumulated checkpoint/
+    # broadcast residue of the first two killed 4g-heap children mid-CSR
+    # (context shutdown observed round 3); small heaps also GC-stall the loop
+    env["SPARK_GRAFT_DRIVER_MEM"] = f"{max(6, edges // 1_500_000)}g"
     proc = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         timeout=1800, env=env,
