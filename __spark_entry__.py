@@ -1731,6 +1731,35 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(injected)
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # probe = every 50th doc as the stand-in benchmark/eval set; probe docs
+    # score contamination 1.0, everything else scores its true overlap
+    from sparkgraph.text import contamination_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination_scores(docs, probe)
+
+
+_CONTAMINATION_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS g(i)
+),
+psh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+hit AS (
+  SELECT s.doc_id, COUNT(*) AS n_hits
+  FROM sh s JOIN psh USING (shingle) GROUP BY s.doc_id
+)
+SELECT t.doc_id, t.n_shingles, COALESCE(h.n_hits, 0) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) * 1.0 / t.n_shingles, 6) AS contamination
+FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id"""
+
+
 DEDUP_CC_ITERS = 8  # ≥ near-dup cluster diameter at gate scale
 
 
@@ -2035,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_documents": _q_tfidf,
         "pii_scrub_documents": _q_pii_scrub,
         "dedup_clusters_documents": _q_dedup_clusters,
+        "contamination_documents": _q_contamination,
         # -- graph core ---------------------------------------------------
         "pagerank_bipartite": _q_pagerank,
         "pagerank_tol_bipartite": _q_pagerank_tol,
@@ -2132,6 +2162,7 @@ SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {TFIDF_K}""",
         "pii_scrub_documents": _pii_scrub_sql(),
         "dedup_clusters_documents": _dedup_clusters_sql(DEDUP_CC_ITERS),
+        "contamination_documents": _CONTAMINATION_SQL,
         "random_walks_bipartite": _walks_sql(WALK_LEN),
         "walk_skipgram_bipartite": _skipgram_sql(WALK_LEN, WALK_WINDOW),
         "weighted_walks_bipartite": _weighted_walks_sql(WALK_LEN),

@@ -591,3 +591,39 @@ def dedup_clusters(
         )
         .withColumn("is_rep", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def contamination_scores(
+    df: DataFrame,
+    probe: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3-style n-gram overlap check):
+    for every training document, the fraction of its distinct word n-gram
+    shingles that also occur anywhere in ``probe`` (the eval/benchmark
+    corpus). Returns ``(id_col, n_shingles, n_hits, contamination)`` — docs
+    above a threshold get dropped or flagged before training.
+
+    Scale shape: the probe shingle set is DISTINCT'd to benchmark size
+    (usually millions of shingles, ≪ corpus) and the membership test is a
+    semi-join on the shingle hash — broadcastable when the benchmark is
+    small, shuffle-join otherwise; the corpus side streams through once.
+    Production uses longer n (13-grams); n is a parameter."""
+    sh = shingles(df, id_col, text_col, n)
+    psh = shingles(probe, id_col, text_col, n).select("shingle").distinct()
+    tot = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hit = (
+        sh.join(psh, "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return tot.join(hit, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_shingles",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce("n_hits", F.lit(0)) / F.col("n_shingles"), 6
+        ).alias("contamination"),
+    )

@@ -142,3 +142,34 @@ def test_dedup_clusters_end_to_end(spark):
     solo = spark.createDataFrame(docs[3:], "doc_id long, text string").filter("doc_id >= 30")
     got2 = {r.doc_id: r.is_rep for r in dedup_clusters(solo).collect()}
     assert got2 == {30: True}
+
+
+def test_contamination_scores_vs_python_oracle(spark):
+    from sparkgraph.text import contamination_scores
+
+    train = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma completely different tail here"),
+        (3, "nothing shared with anything else at all friends"),
+    ]
+    probe = [(100, "alpha beta gamma delta xyz")]
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    pdf = spark.createDataFrame(probe, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_shingles, r.n_hits, r.contamination)
+        for r in contamination_scores(tdf, pdf).collect()
+    }
+
+    def shingle_set(text, n=3):
+        t = text.split()
+        return {" ".join(t[i : i + n]) for i in range(max(len(t) - n, 0) + 1)}
+
+    pset = set()
+    for _, t in probe:
+        pset |= shingle_set(t)
+    for i, t in train:
+        s = shingle_set(t)
+        hits = len(s & pset)
+        assert got[i] == (len(s), hits, round(hits / len(s), 6)), i
+    assert got[1][1] == 2  # 'alpha beta gamma', 'beta gamma delta'
+    assert got[3] == (got[3][0], 0, 0.0)
