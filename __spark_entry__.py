@@ -1760,6 +1760,40 @@ SELECT t.doc_id, t.n_shingles, COALESCE(h.n_hits, 0) AS n_hits,
 FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id"""
 
 
+def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.text import boilerplate_strip
+
+    return boilerplate_strip(_read(spark, sf_dir, "documents"), min_docs=3)
+
+
+_BOILERPLATE_SQL = """
+WITH base AS (SELECT doc_id, string_split(text, '.') AS s FROM documents),
+segs AS (
+  SELECT doc_id, i AS pos, trim(s[i]) AS seg
+  FROM base, UNNEST(generate_series(1, len(s))) AS g(i)
+  WHERE trim(s[i]) <> ''
+),
+boiler AS (
+  SELECT seg FROM (
+    SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY seg
+  ) WHERE nd >= 3
+),
+kept AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM boiler)),
+tot AS (SELECT doc_id, COUNT(*) AS n_segments FROM segs GROUP BY doc_id),
+re AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(seg, '.' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(t.n_segments, 0) AS n_segments,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       sha256(COALESCE(r.clean_text, '')) AS clean_sha
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+LEFT JOIN re r ON d.doc_id = r.doc_id"""
+
+
 DEDUP_CC_ITERS = 8  # ≥ near-dup cluster diameter at gate scale
 
 
@@ -2065,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_documents": _q_pii_scrub,
         "dedup_clusters_documents": _q_dedup_clusters,
         "contamination_documents": _q_contamination,
+        "boilerplate_documents": _q_boilerplate,
         # -- graph core ---------------------------------------------------
         "pagerank_bipartite": _q_pagerank,
         "pagerank_tol_bipartite": _q_pagerank_tol,
@@ -2163,6 +2198,7 @@ FROM ranked WHERE rank <= {TFIDF_K}""",
         "pii_scrub_documents": _pii_scrub_sql(),
         "dedup_clusters_documents": _dedup_clusters_sql(DEDUP_CC_ITERS),
         "contamination_documents": _CONTAMINATION_SQL,
+        "boilerplate_documents": _BOILERPLATE_SQL,
         "random_walks_bipartite": _walks_sql(WALK_LEN),
         "walk_skipgram_bipartite": _skipgram_sql(WALK_LEN, WALK_WINDOW),
         "weighted_walks_bipartite": _weighted_walks_sql(WALK_LEN),

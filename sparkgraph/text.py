@@ -627,3 +627,67 @@ def contamination_scores(
             F.coalesce("n_hits", F.lit(0)) / F.col("n_shingles"), 6
         ).alias("contamination"),
     )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = ".",
+    min_docs: int = 3,
+) -> DataFrame:
+    """C4-style corpus-frequency boilerplate removal: split each document
+    into segments on ``sep`` (sentences/lines), strip every segment that
+    occurs — after trimming — in ≥ ``min_docs`` DISTINCT documents (nav
+    chrome, license footers, cookie banners), and reassemble the survivors
+    in original order. Returns
+    ``(id_col, n_segments, n_kept, clean_sha)`` where clean_sha is the
+    sha256 of the sep-rejoined surviving segments (normalized: trimmed,
+    empty segments dropped) — the auditable fingerprint of the cleaned doc.
+
+    Scale shape: one posexplode, a segment-frequency groupBy whose output is
+    boilerplate-sized (≪ corpus — only segments crossing min_docs survive
+    the filter) and anti-joined back, then an order-preserving per-doc
+    reassembly (collect_list of (pos, seg) structs, sorted in-array — no
+    window)."""
+    import re as _re
+
+    segs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+                "pos", "seg_raw"
+            ),
+        )
+        .select("id", "pos", F.trim("seg_raw").alias("seg"))
+        .filter(F.col("seg") != "")
+    )
+    boiler = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("seg")
+    )
+    kept = segs.join(boiler, "seg", "left_anti")
+    tot = segs.groupBy("id").agg(F.count(F.lit(1)).alias("n_segments"))
+    re_doc = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id")).distinct()
+        .join(tot, "id", "left")
+        .join(re_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.sha2(F.coalesce("clean_text", F.lit("")), 256).alias("clean_sha"),
+        )
+    )

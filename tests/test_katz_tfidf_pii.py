@@ -173,3 +173,41 @@ def test_contamination_scores_vs_python_oracle(spark):
         assert got[i] == (len(s), hits, round(hits / len(s), 6)), i
     assert got[1][1] == 2  # 'alpha beta gamma', 'beta gamma delta'
     assert got[3] == (got[3][0], 0, 0.0)
+
+
+def test_boilerplate_strip_vs_python_oracle(spark):
+    from sparkgraph.text import boilerplate_strip
+
+    footer = "subscribe to our newsletter"
+    docs = [
+        (1, f"real content one. {footer}. more real stuff"),
+        (2, f"other words here. {footer}. tail two"),
+        (3, f"third document body. {footer}"),
+        (4, "entirely unique document. with unique sentences"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_segments, r.n_kept, r.clean_sha)
+        for r in boilerplate_strip(df, min_docs=3).collect()
+    }
+
+    segsets = {}
+    for i, t in docs:
+        segs = [s.strip() for s in t.split(".")]
+        segsets[i] = [(p, s) for p, s in enumerate(segs) if s != ""]
+    from collections import Counter
+    freq = Counter()
+    for i, pairs in segsets.items():
+        for s in {s for _, s in pairs}:
+            freq[s] += 1
+    boiler = {s for s, n in freq.items() if n >= 3}
+    for i, pairs in segsets.items():
+        keep = [(p, s) for p, s in pairs if s not in boiler]
+        clean = ".".join(s for _, s in sorted(keep))
+        sha = hashlib.sha256(clean.encode()).hexdigest()
+        assert got[i] == (len(pairs), len(keep), sha), i
+    # the footer was actually stripped from all three carriers
+    assert got[1][0] == 3 and got[1][1] == 2
+    assert got[3] == (2, 1, got[3][2])
+    assert got[5][0] == 0  # empty doc handled
