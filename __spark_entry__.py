@@ -1794,6 +1794,51 @@ LEFT JOIN tot t ON d.doc_id = t.doc_id
 LEFT JOIN re r ON d.doc_id = r.doc_id"""
 
 
+def _q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.events import sessionize
+
+    return sessionize(_read(spark, sf_dir, "events"))
+
+
+# gaps-and-islands twin of Spark's session_window: a session breaks only
+# when the gap to the previous event EXCEEDS 5 min — an event landing exactly
+# on last_ts + gap still extends the session (verified by the boundary case
+# in tests/test_events_batch.py)
+_SESSIONS_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+       user_id, COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid"""
+
+
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.events import value_percentiles
+
+    return value_percentiles(_read(spark, sf_dir, "events"))
+
+
+_PERCENTILES_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type"""
+
+
 DEDUP_CC_ITERS = 8  # ≥ near-dup cluster diameter at gate scale
 
 
@@ -2100,6 +2145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_documents": _q_dedup_clusters,
         "contamination_documents": _q_contamination,
         "boilerplate_documents": _q_boilerplate,
+        "sessions_events": _q_sessions,
+        "percentiles_events": _q_percentiles,
         # -- graph core ---------------------------------------------------
         "pagerank_bipartite": _q_pagerank,
         "pagerank_tol_bipartite": _q_pagerank_tol,
@@ -2199,6 +2246,8 @@ FROM ranked WHERE rank <= {TFIDF_K}""",
         "dedup_clusters_documents": _dedup_clusters_sql(DEDUP_CC_ITERS),
         "contamination_documents": _CONTAMINATION_SQL,
         "boilerplate_documents": _BOILERPLATE_SQL,
+        "sessions_events": _SESSIONS_SQL,
+        "percentiles_events": _PERCENTILES_SQL,
         "random_walks_bipartite": _walks_sql(WALK_LEN),
         "walk_skipgram_bipartite": _skipgram_sql(WALK_LEN, WALK_WINDOW),
         "weighted_walks_bipartite": _weighted_walks_sql(WALK_LEN),
