@@ -500,7 +500,13 @@ def tfidf_top_terms(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TFIDF_TOKEN_RE), 0)
         ).alias("term"),
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the idf aggregation and the scoring join; without an
+    # explicit persist Spark re-tokenizes the full corpus for each branch
+    # (no ReusedExchange fires — the branches prune differently). Cached
+    # MEMORY_AND_DISK; evicted LRU / on session cleanup.
+    tf = (
+        toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(id_col).distinct().count()
     scored = tf.join(F.broadcast(dfreq), "term").select(
@@ -652,6 +658,8 @@ def boilerplate_strip(
     window)."""
     import re as _re
 
+    # segs feeds the boilerplate frequency, the anti-join, and the per-doc
+    # totals — persisted so the corpus is tokenized ONCE, not per branch
     segs = (
         df.select(
             F.col(id_col).alias("id"),
@@ -661,6 +669,7 @@ def boilerplate_strip(
         )
         .select("id", "pos", F.trim("seg_raw").alias("seg"))
         .filter(F.col("seg") != "")
+        .persist()
     )
     boiler = (
         segs.groupBy("seg")
