@@ -2,10 +2,11 @@
 
 Media are opaque ``binary`` columns with a typed metadata struct — the
 schema/partitioning/UDF plumbing is real and tested. Codecs sit behind
-``DecodeBackend``: ``BmpDecodeBackend`` is a REAL pure-numpy decoder for
-uncompressed 24-bit BMP (no image libraries exist in this container; PIL/
-libav slot in at deployment for other formats), and ``FakeDecodeBackend``
-is a deterministic stand-in (bytes → hashed pseudo pixels/samples) so every
+``DecodeBackend``: ``BmpDecodeBackend`` (uncompressed 24-bit BMP) and
+``WavDecodeBackend`` (16-bit PCM RIFF/WAVE) are REAL pure-numpy/stdlib
+decoders — actual pixels and samples, tested round-trip; PIL/libav slot in
+at deployment for compressed formats. ``FakeDecodeBackend`` remains the
+deterministic stand-in (bytes → hashed pseudo pixels/samples) so every
 downstream stage — batching, feature extraction, resize geometry, frame
 sampling — is exercised end-to-end for formats without an in-tree codec.
 
@@ -98,6 +99,60 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return header + raw
 
 
+class WavDecodeBackend(DecodeBackend):
+    """REAL audio decode, zero external deps: 16-bit PCM RIFF/WAVE parsed
+    with stdlib byte math + numpy. Output is float32 samples in [-1, 1)
+    (channel-interleaved frames averaged down to mono). Closes the audio
+    codec seam the same way BmpDecodeBackend does for images; swap in
+    libav/soundfile for compressed formats at deployment."""
+
+    def decode_audio(self, data: bytes, sample_rate: int) -> np.ndarray:
+        if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        pos, n_channels, bits, body = 12, None, None, None
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            sz = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            if cid == b"fmt ":
+                fmt = int.from_bytes(data[pos + 8 : pos + 10], "little")
+                if fmt != 1:
+                    raise ValueError(f"only PCM supported (fmt={fmt})")
+                n_channels = int.from_bytes(data[pos + 10 : pos + 12], "little")
+                bits = int.from_bytes(data[pos + 22 : pos + 24], "little")
+            elif cid == b"data":
+                body = data[pos + 8 : pos + 8 + sz]
+            pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+        if body is None or n_channels is None:
+            raise ValueError("missing fmt/data chunk")
+        if bits != 16:
+            raise ValueError(f"only 16-bit PCM supported (bits={bits})")
+        samples = np.frombuffer(body, dtype="<i2").astype(np.float32) / 32768.0
+        if n_channels > 1:
+            samples = samples[: len(samples) - len(samples) % n_channels]
+            samples = samples.reshape(-1, n_channels).mean(axis=1)
+        return samples
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Inverse of WavDecodeBackend for tests/fixtures: float samples in
+    [-1, 1) → mono 16-bit PCM RIFF/WAVE bytes."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64) * 32768.0, -32768, 32767)
+    body = pcm.astype("<i2").tobytes()
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")    # PCM
+        + (1).to_bytes(2, "little")    # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")    # block align
+        + (16).to_bytes(2, "little")   # bits
+    )
+    data = b"data" + len(body).to_bytes(4, "little") + body
+    riff_body = b"WAVE" + fmt + data
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+
 class FakeDecodeBackend(DecodeBackend):
     """Deterministic stand-in: pixels/samples derived from sha256 of the
     bytes — stable across runs and partitionings."""
@@ -161,6 +216,53 @@ def image_features(
 
     return df.mapInPandas(
         run, "media_id long, mean double, std double, width int, height int"
+    )
+
+
+def audio_features(
+    df: DataFrame, backend: DecodeBackend | None = None
+) -> DataFrame:
+    """media rows (kind='audio') → (media_id, n_samples, rms, peak,
+    sample_rate). Decode per blob, reduce vectorized per Arrow batch in
+    float64 (same upcast discipline as image_features); only scalars leave
+    Python."""
+    backend = backend or FakeDecodeBackend()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            b = b[b["kind"] == "audio"]
+            if b.empty:
+                continue
+            rates = np.array(
+                [m["sample_rate"] for m in b["meta"]], dtype=np.int32
+            )
+            decoded = [
+                backend.decode_audio(bytes(d), int(r)).astype(np.float64)
+                for d, r in zip(b["data"], rates)
+            ]
+            sizes = np.array([len(a) for a in decoded], dtype=np.int64)
+            # reduceat needs every segment non-empty: pad zero-sample blobs
+            # with one silent sample (stats for them come out 0 either way)
+            padded = [a if len(a) else np.zeros(1, np.float64) for a in decoded]
+            psizes = np.maximum(sizes, 1)
+            flat = np.concatenate(padded)
+            starts = np.concatenate(([0], np.cumsum(psizes)[:-1]))
+            sumsq = np.add.reduceat(flat * flat, starts)
+            rms = np.sqrt(sumsq / psizes)
+            peak = np.maximum.reduceat(np.abs(flat), starts)
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"].to_numpy(),
+                    "n_samples": sizes,
+                    "rms": rms,
+                    "peak": peak,
+                    "sample_rate": rates,
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        "media_id long, n_samples long, rms double, peak double, sample_rate int",
     )
 
 

@@ -168,3 +168,61 @@ def test_bmp_backend_top_down_and_rejects(spark):
     assert (back == px.astype(np.float32)).all()
     with _pytest.raises(ValueError, match="not a BMP"):
         BmpDecodeBackend().decode_image(b"nope", 1, 1, 3)
+
+
+def test_wav_backend_real_decode_roundtrip(spark):
+    """Real audio codec path: synthetic sine/noise -> WAV bytes -> Spark
+    audio_features with WavDecodeBackend -> exact rms/peak (within 16-bit
+    quantization)."""
+    import numpy as np
+
+    from sparkgraph.multimodal import (
+        MEDIA_SCHEMA,
+        WavDecodeBackend,
+        audio_features,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(7)
+    rows, want = [], {}
+    for i, n in enumerate([800, 1601, 1]):
+        samples = (rng.rand(n) * 1.6 - 0.8).astype(np.float64)
+        data = encode_wav(samples, 8000)
+        back = WavDecodeBackend().decode_audio(data, 8000)
+        assert back.shape == (n,)
+        assert np.abs(back - samples).max() < 1.0 / 32768 + 1e-9  # quantization only
+        q = back.astype(np.float64)
+        meta = {"width": 0, "height": 0, "channels": 0, "sample_rate": 8000, "n_frames": 0}
+        rows.append((i, "audio", bytearray(data), meta))
+        want[i] = (n, float(np.sqrt((q * q).mean())), float(np.abs(q).max()))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r.media_id: (r.n_samples, r.rms, r.peak, r.sample_rate)
+        for r in audio_features(df, backend=WavDecodeBackend()).collect()
+    }
+    assert set(got) == set(want)
+    for i, (n, rms, peak) in want.items():
+        assert got[i][0] == n and got[i][3] == 8000
+        assert abs(got[i][1] - rms) < 1e-12 and abs(got[i][2] - peak) < 1e-12
+
+
+def test_wav_backend_stereo_and_rejects():
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkgraph.multimodal import WavDecodeBackend, encode_wav
+
+    # hand-build a stereo file from two mono encodes' bodies
+    left = np.array([0.5, -0.5, 0.25], dtype=np.float64)
+    right = np.array([0.0, 1.0 - 1 / 32768, -0.25], dtype=np.float64)
+    inter = np.empty(6, dtype=np.float64)
+    inter[0::2], inter[1::2] = left, right
+    mono_bytes = encode_wav(inter, 8000)
+    data = bytearray(mono_bytes)
+    data[22:24] = (2).to_bytes(2, "little")  # declare 2 channels
+    back = WavDecodeBackend().decode_audio(bytes(data), 8000)
+    lq = np.round(left * 32768) / 32768
+    rq = np.clip(np.round(right * 32768), -32768, 32767) / 32768
+    assert np.abs(back - (lq + rq) / 2).max() < 1e-9
+    with _pytest.raises(ValueError, match="RIFF"):
+        WavDecodeBackend().decode_audio(b"nope", 8000)
