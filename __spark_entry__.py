@@ -1839,6 +1839,76 @@ SELECT event_type, COUNT(*) AS n_events,
 FROM events GROUP BY event_type"""
 
 
+def _q_triangle_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.algorithms.triangles import triangle_list
+
+    return triangle_list(Graph(part_edges(spark, sf_dir)))
+
+
+_TRIANGLE_LIST_SQL = """
+WITH """ + _PART_CTE.strip() + """,
+se AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM sym WHERE src <> dst GROUP BY 1, 2
+)
+SELECT e1.u AS x, e1.v AS y, e2.v AS z
+FROM se e1
+JOIN se e2 ON e1.v = e2.u
+JOIN se e3 ON e3.u = e1.u AND e3.v = e2.v"""
+
+
+def _q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two deterministic snapshots of the bipartite edge table: v1 drops
+    # (src+dst)%7==0, v2 drops (src+dst)%5==0 — both engines rebuild both
+    from sparkgraph.graph import graph_diff
+
+    e = bipartite_edges(spark, sf_dir)
+    old = e.filter((F.col("src") + F.col("dst")) % 7 != 0)
+    new = e.filter((F.col("src") + F.col("dst")) % 5 != 0)
+    return graph_diff(old, new)
+
+
+_GRAPH_DIFF_SQL = """
+WITH """ + _BIP_CTE.strip() + """,
+o AS MATERIALIZED (SELECT src, dst FROM edges WHERE (src + dst) % 7 <> 0),
+n AS MATERIALIZED (SELECT src, dst FROM edges WHERE (src + dst) % 5 <> 0)
+SELECT n.src, n.dst, 'added' AS change
+FROM n LEFT JOIN o ON n.src = o.src AND n.dst = o.dst WHERE o.src IS NULL
+UNION ALL
+SELECT o.src, o.dst, 'removed' AS change
+FROM o LEFT JOIN n ON o.src = n.src AND o.dst = n.dst WHERE n.src IS NULL"""
+
+
+def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bipartite edges are one-directional; reverse the src%3==0 subset so the
+    # dyad census sees real mutual pairs
+    from sparkgraph.graph import reciprocity
+
+    e = bipartite_edges(spark, sf_dir)
+    rev = e.filter(F.col("src") % 3 == 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return reciprocity(e.unionByName(rev))
+
+
+_RECIPROCITY_SQL = """
+WITH """ + _BIP_CTE.strip() + """,
+d AS MATERIALIZED (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT dst AS src, src AS dst FROM edges WHERE src % 3 = 0
+),
+p AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v, COUNT(*) AS ndir
+  FROM d WHERE src <> dst GROUP BY 1, 2
+)
+SELECT COALESCE(SUM(CASE WHEN ndir = 2 THEN 1 ELSE 0 END), 0) AS n_mutual_pairs,
+       COALESCE(SUM(CASE WHEN ndir = 1 THEN 1 ELSE 0 END), 0) AS n_asym_pairs,
+       ROUND(COALESCE(SUM(CASE WHEN ndir = 2 THEN 1 ELSE 0 END), 0)
+             * 1.0 / GREATEST(COUNT(*), 1), 6) AS reciprocity
+FROM p"""
+
+
 DEDUP_CC_ITERS = 8  # ≥ near-dup cluster diameter at gate scale
 
 
@@ -2147,6 +2217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_documents": _q_boilerplate,
         "sessions_events": _q_sessions,
         "percentiles_events": _q_percentiles,
+        "triangle_list_parts": _q_triangle_list,
+        "graph_diff_bipartite": _q_graph_diff,
+        "reciprocity_bipartite": _q_reciprocity,
         # -- graph core ---------------------------------------------------
         "pagerank_bipartite": _q_pagerank,
         "pagerank_tol_bipartite": _q_pagerank_tol,
@@ -2173,9 +2246,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codegraph_cochange_edges": _q_codegraph_cochange,
         "codegraph_pagerank": _q_codegraph_pagerank,
         "codegraph_repo_stats": _q_codegraph_repo_stats,
-        "betweenness_bipartite": _q_betweenness,
-        "kcore_parts": _q_kcore_parts,
-        "coreness_parts": _q_coreness,
         "ktruss_parts": _q_truss,
         "densest_parts_clique": _q_densest,
         "local_clustering_suppliers": _q_local_clustering,
@@ -2188,6 +2258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_bipartite": _q_hits,
         "ppr_bipartite": _q_ppr,
         # -- tail: already driver-green in r01/r02, safe past the 50-cap --
+        "betweenness_bipartite": _q_betweenness,
+        "kcore_parts": _q_kcore_parts,
+        "coreness_parts": _q_coreness,
         "ingest_sha_documents": _q_ingest_sha,
         "dedup_exact_documents": _q_dedup_exact,
         "token_stats_documents": _q_token_stats,
@@ -2248,6 +2321,9 @@ FROM ranked WHERE rank <= {TFIDF_K}""",
         "boilerplate_documents": _BOILERPLATE_SQL,
         "sessions_events": _SESSIONS_SQL,
         "percentiles_events": _PERCENTILES_SQL,
+        "triangle_list_parts": _TRIANGLE_LIST_SQL,
+        "graph_diff_bipartite": _GRAPH_DIFF_SQL,
+        "reciprocity_bipartite": _RECIPROCITY_SQL,
         "random_walks_bipartite": _walks_sql(WALK_LEN),
         "walk_skipgram_bipartite": _skipgram_sql(WALK_LEN, WALK_WINDOW),
         "weighted_walks_bipartite": _weighted_walks_sql(WALK_LEN),

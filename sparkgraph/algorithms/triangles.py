@@ -163,3 +163,20 @@ def triangle_count_df(graph: Graph) -> DataFrame:
     """Single-row DataFrame (triangles: long) — for the query/oracle surface."""
     spark = graph.spark
     return spark.createDataFrame([(triangle_count(graph),)], "triangles long")
+
+
+def triangle_list(graph: Graph) -> DataFrame:
+    """Enumerate the triangles themselves — ``(x, y, z)`` with x < y < z, one
+    row per triangle. The motif-mining twin of ``triangle_count`` (listings
+    feed clique search, support counting, subgraph features); same
+    degree-ordered orientation as the wedge strategy, so wedge volume is
+    O(E^1.5)-bounded and hub wedges never explode."""
+    o = oriented_edges(graph)
+    ab = o.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
+    bc = o.select(F.col("a").alias("tb"), F.col("b").alias("tc"))
+    ac = o.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = ab.join(bc, "tb").join(ac, ["ta", "tc"])
+    srt = F.array_sort(F.array("ta", "tb", "tc"))
+    return tri.select(
+        srt[0].alias("x"), srt[1].alias("y"), srt[2].alias("z")
+    )

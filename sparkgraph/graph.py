@@ -167,3 +167,57 @@ def project_bipartite(
         .filter(F.col("weight") >= min_weight)
         .select("src", "dst", F.col("weight").cast("double").alias("weight"))
     )
+
+
+def graph_diff(old_edges: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Edge-level diff of two graph snapshots (e.g. two TableIO versions of
+    the same edge table): one row per directed (src, dst) pair that appears
+    in exactly one side, tagged ``change`` = 'added' | 'removed'. Weights and
+    multiplicity are ignored — this is the structural diff that drives
+    incremental recompute decisions (which components/scores can be
+    warm-started vs must rerun).
+
+    Scale shape: two left-anti joins on the (src, dst) key — each one
+    shuffle, no full materialization of either snapshot beyond the key
+    columns."""
+    o = old_edges.select("src", "dst").distinct()
+    n = new_edges.select("src", "dst").distinct()
+    added = n.join(o, ["src", "dst"], "left_anti").select(
+        "src", "dst", F.lit("added").alias("change")
+    )
+    removed = o.join(n, ["src", "dst"], "left_anti").select(
+        "src", "dst", F.lit("removed").alias("change")
+    )
+    return added.unionByName(removed)
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Dyad census of the DIRECTED simple graph: counts of mutual pairs
+    (both u→v and v→u exist), asymmetric pairs (exactly one direction), and
+    the reciprocity ratio mutual_pairs / connected_pairs. One row:
+    ``(n_mutual_pairs, n_asym_pairs, reciprocity)``. Self-loops excluded.
+
+    Scale shape: canonical-pair groupBy counting directions per unordered
+    pair — one shuffle, map-side combined."""
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    pairs = e.select(
+        F.least("src", "dst").alias("u"),
+        F.greatest("src", "dst").alias("v"),
+    ).groupBy("u", "v").agg(F.count(F.lit(1)).alias("ndir"))
+    return pairs.agg(
+        F.coalesce(F.sum((F.col("ndir") == 2).cast("long")), F.lit(0)).alias(
+            "n_mutual_pairs"
+        ),
+        F.coalesce(F.sum((F.col("ndir") == 1).cast("long")), F.lit(0)).alias(
+            "n_asym_pairs"
+        ),
+        F.round(
+            F.coalesce(F.sum((F.col("ndir") == 2).cast("long")), F.lit(0))
+            / F.greatest(F.count(F.lit(1)), F.lit(1)),
+            6,
+        ).alias("reciprocity"),
+    )
