@@ -1857,6 +1857,31 @@ JOIN se e2 ON e1.v = e2.u
 JOIN se e3 ON e3.u = e1.u AND e3.v = e2.v"""
 
 
+def _q_four_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.algorithms.triangles import four_clique_count
+
+    return four_clique_count(Graph(part_edges(spark, sf_dir)))
+
+
+_FOUR_CLIQUES_SQL = """
+WITH """ + _PART_CTE.strip() + """,
+se AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM sym WHERE src <> dst GROUP BY 1, 2
+),
+tri AS MATERIALIZED (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM se e1
+  JOIN se e2 ON e1.v = e2.u
+  JOIN se e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT COUNT(*) AS n_four_cliques
+FROM tri t
+JOIN se e1 ON e1.u = t.x AND e1.v > t.z
+JOIN se e2 ON e2.u = t.y AND e2.v = e1.v
+JOIN se e3 ON e3.u = t.z AND e3.v = e1.v"""
+
+
 def _q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two deterministic snapshots of the bipartite edge table: v1 drops
     # (src+dst)%7==0, v2 drops (src+dst)%5==0 — both engines rebuild both
@@ -2218,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_events": _q_sessions,
         "percentiles_events": _q_percentiles,
         "triangle_list_parts": _q_triangle_list,
+        "four_cliques_parts": _q_four_cliques,
         "graph_diff_bipartite": _q_graph_diff,
         "reciprocity_bipartite": _q_reciprocity,
         # -- graph core ---------------------------------------------------
@@ -2322,6 +2348,7 @@ FROM ranked WHERE rank <= {TFIDF_K}""",
         "sessions_events": _SESSIONS_SQL,
         "percentiles_events": _PERCENTILES_SQL,
         "triangle_list_parts": _TRIANGLE_LIST_SQL,
+        "four_cliques_parts": _FOUR_CLIQUES_SQL,
         "graph_diff_bipartite": _GRAPH_DIFF_SQL,
         "reciprocity_bipartite": _RECIPROCITY_SQL,
         "random_walks_bipartite": _walks_sql(WALK_LEN),

@@ -180,3 +180,24 @@ def triangle_list(graph: Graph) -> DataFrame:
     return tri.select(
         srt[0].alias("x"), srt[1].alias("y"), srt[2].alias("z")
     )
+
+
+def four_clique_count(graph: Graph) -> DataFrame:
+    """Count K4 subgraphs: one row ``(n_four_cliques,)``. Extends each
+    enumerated triangle (x<y<z) by a fourth vertex w > z adjacent to all
+    three — every K4 is counted exactly once in its sorted orientation.
+    Join volume is Σ_triangles |N(x) above z|, bounded by the same
+    degree-ordered discipline as the triangle pass (no hub wedge blow-up);
+    the two closing checks are canonical-pair semi-joins."""
+    tri = triangle_list(graph)
+    se = graph.simple_undirected()  # (u < v)
+    cand = tri.join(
+        se.select(F.col("u").alias("x"), F.col("v").alias("w")), "x"
+    ).filter(F.col("w") > F.col("z"))
+    cand = cand.join(
+        se.select(F.col("u").alias("y"), F.col("v").alias("w")), ["y", "w"], "left_semi"
+    )
+    cand = cand.join(
+        se.select(F.col("u").alias("z"), F.col("v").alias("w")), ["z", "w"], "left_semi"
+    )
+    return cand.agg(F.count(F.lit(1)).alias("n_four_cliques"))

@@ -66,3 +66,36 @@ def test_reciprocity_dyad_census(spark):
         r2.reciprocity
         - round(r2.n_mutual_pairs / max(r2.n_mutual_pairs + r2.n_asym_pairs, 1), 6)
     ) < 1e-9
+
+
+def test_four_clique_count_matches_bruteforce(spark):
+    from itertools import combinations
+
+    from sparkgraph.algorithms.triangles import four_clique_count
+
+    rnd = random.Random(11)
+    for trial in range(2):
+        pairs = [
+            (a, b)
+            for a, b in {(rnd.randrange(14), rnd.randrange(14)) for _ in range(60)}
+        ]
+        adj = defaultdict(set)
+        for a, b in pairs:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        want = sum(
+            1
+            for q in combinations(sorted(adj), 4)
+            if all(b in adj[a] for a, b in combinations(q, 2))
+        )
+        g = Graph(edges_from_pairs(spark, pairs), num_partitions=4)
+        got = four_clique_count(g).collect()[0].n_four_cliques
+        assert got == want, trial
+        g.unpersist()
+
+    # complete graph K6 has C(6,4)=15 four-cliques
+    k6 = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    g = Graph(edges_from_pairs(spark, k6), num_partitions=2)
+    assert four_clique_count(g).collect()[0].n_four_cliques == 15
+    g.unpersist()
