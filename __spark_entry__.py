@@ -1882,6 +1882,29 @@ JOIN se e2 ON e2.u = t.y AND e2.v = e1.v
 JOIN se e3 ON e3.u = t.z AND e3.v = e1.v"""
 
 
+def _q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # supplier pairs sharing >= 2 customers close C(w,2) butterflies each
+    from sparkgraph.graph import butterfly_count
+
+    return butterfly_count(bipartite_edges(spark, sf_dir))
+
+
+_BUTTERFLIES_SQL = """
+WITH """ + _BIP_CTE.strip() + """,
+m AS MATERIALIZED (SELECT DISTINCT src AS k, dst AS x FROM edges),
+ok AS MATERIALIZED (
+  SELECT m.k, m.x FROM m
+  JOIN (SELECT k FROM (SELECT k, COUNT(*) AS nx FROM m GROUP BY k)
+        WHERE nx <= 10000) s ON m.k = s.k
+),
+pw AS MATERIALIZED (
+  SELECT a.x AS u, b.x AS v, COUNT(*) AS w
+  FROM ok a JOIN ok b ON a.k = b.k AND a.x < b.x
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT CAST(COALESCE(SUM(w * (w - 1) / 2), 0) AS BIGINT) AS n_butterflies FROM pw"""
+
+
 def _q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two deterministic snapshots of the bipartite edge table: v1 drops
     # (src+dst)%7==0, v2 drops (src+dst)%5==0 — both engines rebuild both
@@ -2244,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_events": _q_percentiles,
         "triangle_list_parts": _q_triangle_list,
         "four_cliques_parts": _q_four_cliques,
+        "butterflies_bipartite": _q_butterflies,
         "graph_diff_bipartite": _q_graph_diff,
         "reciprocity_bipartite": _q_reciprocity,
         # -- graph core ---------------------------------------------------
@@ -2262,7 +2286,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_star_bipartite": _q_cc_star,
         "triangles_suppliers": _q_triangles,
         "scc_parts_affine": _q_scc,
-        "closeness_bipartite": _q_closeness,
         "eccentricity_bipartite": _q_eccentricity,
         "mis_bipartite": _q_mis,
         "random_walks_bipartite": _q_random_walks,
@@ -2284,6 +2307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_bipartite": _q_hits,
         "ppr_bipartite": _q_ppr,
         # -- tail: already driver-green in r01/r02, safe past the 50-cap --
+        "closeness_bipartite": _q_closeness,
         "betweenness_bipartite": _q_betweenness,
         "kcore_parts": _q_kcore_parts,
         "coreness_parts": _q_coreness,
@@ -2349,6 +2373,7 @@ FROM ranked WHERE rank <= {TFIDF_K}""",
         "percentiles_events": _PERCENTILES_SQL,
         "triangle_list_parts": _TRIANGLE_LIST_SQL,
         "four_cliques_parts": _FOUR_CLIQUES_SQL,
+        "butterflies_bipartite": _BUTTERFLIES_SQL,
         "graph_diff_bipartite": _GRAPH_DIFF_SQL,
         "reciprocity_bipartite": _RECIPROCITY_SQL,
         "random_walks_bipartite": _walks_sql(WALK_LEN),

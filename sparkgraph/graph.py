@@ -221,3 +221,30 @@ def reciprocity(edges: DataFrame) -> DataFrame:
             6,
         ).alias("reciprocity"),
     )
+
+
+def butterfly_count(
+    edges: DataFrame,
+    on: str = "dst",
+    via: str = "src",
+    max_group_size: int = 10_000,
+) -> DataFrame:
+    """Count butterflies (bipartite 4-cycles — 2 ``on``-nodes sharing 2
+    ``via``-nodes), THE standard bipartite cohesion motif (Sanei-Mehri et
+    al. 2018). One row ``(n_butterflies,)``.
+
+    Built on the one-mode projection: for each on-pair with co-occurrence
+    weight w, the pair closes C(w, 2) butterflies — so the count is one
+    aggregation over the (already skew-capped) projection, no 4-way join.
+    ``max_group_size`` caps via-hubs exactly as in ``project_bipartite``
+    (a via-hub of degree d alone contributes d²/2 wedge pairs)."""
+    proj = project_bipartite(
+        edges, on=on, via=via, min_weight=2, max_group_size=max_group_size
+    )
+    return proj.agg(
+        F.coalesce(
+            F.sum(F.col("weight") * (F.col("weight") - 1) / 2), F.lit(0.0)
+        )
+        .cast("long")
+        .alias("n_butterflies")
+    )

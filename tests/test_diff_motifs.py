@@ -99,3 +99,30 @@ def test_four_clique_count_matches_bruteforce(spark):
     g = Graph(edges_from_pairs(spark, k6), num_partitions=2)
     assert four_clique_count(g).collect()[0].n_four_cliques == 15
     g.unpersist()
+
+
+def test_butterfly_count_matches_bruteforce(spark):
+    from itertools import combinations
+
+    from sparkgraph.graph import butterfly_count
+
+    rnd = random.Random(3)
+    for trial in range(2):
+        pairs = sorted({(rnd.randrange(8), 100 + rnd.randrange(8)) for _ in range(28)})
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        got = butterfly_count(df).collect()[0].n_butterflies
+        # brute force: pairs of dst sharing >= 2 src
+        nbrs = defaultdict(set)
+        for s, d in pairs:
+            nbrs[d].add(s)
+        want = sum(
+            1
+            for a, b in combinations(sorted(nbrs), 2)
+            for _ in combinations(nbrs[a] & nbrs[b], 2)
+        )
+        assert got == want, trial
+    # complete bipartite K(2,2) is exactly one butterfly
+    k22 = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11)], "src long, dst long"
+    )
+    assert butterfly_count(k22).collect()[0].n_butterflies == 1
