@@ -1882,6 +1882,65 @@ JOIN se e2 ON e2.u = t.y AND e2.v = e1.v
 JOIN se e3 ON e3.u = t.z AND e3.v = e1.v"""
 
 
+LOUVAIN_ROUNDS = 4
+
+
+def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.algorithms.louvain import louvain_move
+
+    g = Graph(bipartite_edges(spark, sf_dir))
+    return louvain_move(g, rounds=LOUVAIN_ROUNDS).state
+
+
+def _louvain_sql(rounds: int) -> str:
+    """Closed-form twin of algorithms.louvain.louvain_move: per round,
+    community degree totals + per-vertex neighbor-community multiplicities,
+    the INTEGER-scaled gain 2m·k_{v,c} − k_v·(Σ_c − [c=own]·k_v), argmax
+    with smallest-community tie-break, unrolled."""
+    ctes = [
+        "m2 AS MATERIALIZED (SELECT COUNT(*) AS v FROM sym)",
+        "lab0 AS MATERIALIZED (SELECT id, id AS lbl FROM verts)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""ct{r} AS MATERIALIZED (
+  SELECT l.lbl AS c, SUM(d.deg) AS tot
+  FROM lab{r} l JOIN deg d ON l.id = d.id GROUP BY 1
+),
+kv{r} AS MATERIALIZED (
+  SELECT sym.src AS id, l.lbl AS c, COUNT(*) AS kvc
+  FROM sym JOIN lab{r} l ON sym.dst = l.id GROUP BY 1, 2
+),
+cand{r} AS MATERIALIZED (
+  SELECT id, c, kvc FROM kv{r}
+  UNION
+  SELECT l.id, l.lbl AS c, COALESCE(k.kvc, 0) AS kvc
+  FROM lab{r} l LEFT JOIN kv{r} k ON k.id = l.id AND k.c = l.lbl
+),
+sc{r} AS MATERIALIZED (
+  SELECT cd.id, cd.c,
+         m2.v * cd.kvc - d.deg * (ct.tot
+           - CASE WHEN cd.c = l.lbl THEN d.deg ELSE 0 END) AS gain
+  FROM cand{r} cd
+  JOIN lab{r} l ON cd.id = l.id
+  JOIN deg d ON cd.id = d.id
+  JOIN ct{r} ct ON ct.c = cd.c
+  CROSS JOIN m2
+),
+lab{r+1} AS MATERIALIZED (
+  SELECT id, c AS lbl FROM (
+    SELECT id, c,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY gain DESC, c ASC) AS rn
+    FROM sc{r}
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH " + _BIP_CTE + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT id, lbl AS label FROM lab{rounds}"
+    )
+
+
 def _q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
     # supplier pairs sharing >= 2 customers close C(w,2) butterflies each
     from sparkgraph.graph import butterfly_count
@@ -2268,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_list_parts": _q_triangle_list,
         "four_cliques_parts": _q_four_cliques,
         "butterflies_bipartite": _q_butterflies,
+        "louvain_bipartite": _q_louvain,
         "graph_diff_bipartite": _q_graph_diff,
         "reciprocity_bipartite": _q_reciprocity,
         # -- graph core ---------------------------------------------------
@@ -2286,7 +2346,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_star_bipartite": _q_cc_star,
         "triangles_suppliers": _q_triangles,
         "scc_parts_affine": _q_scc,
-        "eccentricity_bipartite": _q_eccentricity,
         "mis_bipartite": _q_mis,
         "random_walks_bipartite": _q_random_walks,
         "walk_skipgram_bipartite": _q_walk_skipgram,
@@ -2307,6 +2366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_bipartite": _q_hits,
         "ppr_bipartite": _q_ppr,
         # -- tail: already driver-green in r01/r02, safe past the 50-cap --
+        "eccentricity_bipartite": _q_eccentricity,
         "closeness_bipartite": _q_closeness,
         "betweenness_bipartite": _q_betweenness,
         "kcore_parts": _q_kcore_parts,
@@ -2374,6 +2434,7 @@ FROM ranked WHERE rank <= {TFIDF_K}""",
         "triangle_list_parts": _TRIANGLE_LIST_SQL,
         "four_cliques_parts": _FOUR_CLIQUES_SQL,
         "butterflies_bipartite": _BUTTERFLIES_SQL,
+        "louvain_bipartite": _louvain_sql(LOUVAIN_ROUNDS),
         "graph_diff_bipartite": _GRAPH_DIFF_SQL,
         "reciprocity_bipartite": _RECIPROCITY_SQL,
         "random_walks_bipartite": _walks_sql(WALK_LEN),
