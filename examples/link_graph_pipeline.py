@@ -66,6 +66,13 @@ def main() -> None:
     print(f"lpa labels: {lpa.state.select('label').distinct().count()}")
     kz = katz_centrality(g, alpha=0.005, iterations=10)
     print(f"katz max: {kz.state.agg(F.max('value')).collect()[0][0]:.6f}")
+    from sparkgraph.algorithms.louvain import louvain
+    from sparkgraph.algorithms.structure import modularity
+
+    communities = louvain(g, rounds_per_level=4, max_levels=2)
+    n_comm = communities.state.select("label").distinct().count()
+    q = modularity(g, communities.state).collect()[0][0]
+    print(f"louvain: {n_comm} communities, modularity {q:.4f}")
 
     print(f"triangles: {triangle_count(g)}")
     print(f"4-cliques: {four_clique_count(g).collect()[0].n_four_cliques}")
