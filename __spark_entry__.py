@@ -1949,6 +1949,73 @@ lab{r+1} AS MATERIALIZED (
     )
 
 
+def _q_louvain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weighted-SSSP gate's weight trick: w = 1 + (src+dst) % 3 — integer, so
+    # the weighted gains stay engine-exact
+    from sparkgraph.algorithms.louvain import louvain_move
+
+    e = bipartite_edges(spark, sf_dir).select(
+        "src", "dst",
+        (1 + (F.col("src") + F.col("dst")) % 3).cast("double").alias("weight"),
+    )
+    return louvain_move(Graph(e), rounds=LOUVAIN_ROUNDS, weighted=True).state
+
+
+def _louvain_w_sql(rounds: int) -> str:
+    """Weighted twin of _louvain_sql: same parity-gated integer-gain rounds
+    over w = 1 + (src+dst) % 3 edge weights."""
+    ctes = [
+        "wsym AS MATERIALIZED (SELECT src, dst, 1 + (src + dst) % 3 AS w FROM sym)",
+        "m2w AS MATERIALIZED (SELECT SUM(w) AS v FROM wsym)",
+        "degw AS MATERIALIZED (SELECT src AS id, SUM(w) AS deg FROM wsym GROUP BY 1)",
+        "wl0 AS MATERIALIZED (SELECT id, id AS lbl FROM degw)",
+    ]
+    for r in range(rounds):
+        rnd = r + 1
+        ctes.append(
+            f"""wct{r} AS MATERIALIZED (
+  SELECT l.lbl AS c, SUM(d.deg) AS tot
+  FROM wl{r} l JOIN degw d ON l.id = d.id GROUP BY 1
+),
+wkv{r} AS MATERIALIZED (
+  SELECT wsym.src AS id, l.lbl AS c, SUM(wsym.w) AS kvc
+  FROM wsym JOIN wl{r} l ON wsym.dst = l.id
+  WHERE wsym.src <> wsym.dst GROUP BY 1, 2
+),
+wcd{r} AS MATERIALIZED (
+  SELECT id, c, kvc FROM (
+    SELECT id, c, kvc FROM wkv{r}
+    UNION
+    SELECT l.id, l.lbl AS c, COALESCE(k.kvc, 0) AS kvc
+    FROM wl{r} l LEFT JOIN wkv{r} k ON k.id = l.id AND k.c = l.lbl
+  ) WHERE (id + {rnd}) % 2 = 0
+),
+wsc{r} AS MATERIALIZED (
+  SELECT cd.id, cd.c,
+         mm.v * cd.kvc - d.deg * (ct.tot
+           - CASE WHEN cd.c = l.lbl THEN d.deg ELSE 0 END) AS gain
+  FROM wcd{r} cd
+  JOIN wl{r} l ON cd.id = l.id
+  JOIN degw d ON cd.id = d.id
+  JOIN wct{r} ct ON ct.c = cd.c
+  CROSS JOIN m2w mm
+),
+wl{r+1} AS MATERIALIZED (
+  SELECT id, c AS lbl FROM (
+    SELECT id, c,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY gain DESC, c ASC) AS rn
+    FROM wsc{r}
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT id, lbl FROM wl{r} WHERE (id + {rnd}) % 2 <> 0
+)"""
+        )
+    return (
+        "WITH " + _BIP_CTE + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT id, lbl AS label FROM wl{rounds}"
+    )
+
+
 ML_ROUNDS, ML_LEVELS = 3, 2
 
 
@@ -2420,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "butterflies_bipartite": _q_butterflies,
         "louvain_bipartite": _q_louvain,
         "louvain_multilevel_bipartite": _q_louvain_ml,
+        "louvain_weighted_bipartite": _q_louvain_weighted,
         "graph_diff_bipartite": _q_graph_diff,
         "reciprocity_bipartite": _q_reciprocity,
         # -- graph core ---------------------------------------------------
@@ -2528,6 +2596,7 @@ FROM ranked WHERE rank <= {TFIDF_K}""",
         "butterflies_bipartite": _BUTTERFLIES_SQL,
         "louvain_bipartite": _louvain_sql(LOUVAIN_ROUNDS),
         "louvain_multilevel_bipartite": _louvain_ml_sql(ML_ROUNDS, ML_LEVELS),
+        "louvain_weighted_bipartite": _louvain_w_sql(LOUVAIN_ROUNDS),
         "graph_diff_bipartite": _GRAPH_DIFF_SQL,
         "reciprocity_bipartite": _RECIPROCITY_SQL,
         "random_walks_bipartite": _walks_sql(WALK_LEN),

@@ -126,19 +126,45 @@ def _move_phase(
     return labels, step, converged
 
 
-def louvain_move(graph: Graph, rounds: int = 6) -> PregelResult:
+def _weighted_sym(graph: Graph, weighted: bool) -> DataFrame:
+    """Symmetric-directed integer edge table for the move phase. With
+    ``weighted`` the edge weight column is used (must be integer-valued ≥ 1
+    — e.g. co-change counts — so gains stay engine-exact; raises otherwise),
+    else unit multiplicities."""
+    if not weighted:
+        return graph.edges_sym.select(
+            "src", "dst", F.lit(1).cast("long").alias("w")
+        )
+    e = graph.edges_sym.select("src", "dst", "weight")
+    bad = e.filter(
+        (F.col("weight") < 1) | (F.col("weight") != F.floor("weight"))
+    ).count()
+    if bad:
+        raise ValueError(
+            f"weighted louvain needs integer weights >= 1 ({bad} bad edges)"
+        )
+    return e.select("src", "dst", F.col("weight").cast("long").alias("w"))
+
+
+def louvain_move(
+    graph: Graph, rounds: int = 6, weighted: bool = False
+) -> PregelResult:
     """Single-level moving phase on the symmetrized multigraph: returns
     state ``(id, label)`` (labels initialized to own id; label = smallest
-    gain-maximizing community each round). ``converged`` is True iff the
-    last round moved nothing."""
-    loop = SuperstepLoop("louvain_move", {"rounds": rounds})
-    e = graph.edges_sym.select("src", "dst", F.lit(1).cast("long").alias("w"))
+    gain-maximizing community each round). ``converged`` is True iff two
+    consecutive rounds moved nothing. ``weighted`` uses integer edge
+    weights (exactness contract in ``_weighted_sym``)."""
+    loop = SuperstepLoop("louvain_move", {"rounds": rounds, "weighted": weighted})
+    e = _weighted_sym(graph, weighted)
     labels, steps, converged = _move_phase(e, rounds, loop, 0)
     return loop.finish(labels, steps, converged, result=labels)
 
 
 def louvain(
-    graph: Graph, rounds_per_level: int = 6, max_levels: int = 3
+    graph: Graph,
+    rounds_per_level: int = 6,
+    max_levels: int = 3,
+    weighted: bool = False,
 ) -> PregelResult:
     """Full multi-level Louvain: moving phase, contract communities into
     super-vertices (coarse weights = summed multiplicities; the community's
@@ -149,9 +175,7 @@ def louvain(
     loop = SuperstepLoop(
         "louvain", {"rounds_per_level": rounds_per_level, "max_levels": max_levels}
     )
-    e = truncate_lineage(
-        graph.edges_sym.select("src", "dst", F.lit(1).cast("long").alias("w"))
-    )
+    e = truncate_lineage(_weighted_sym(graph, weighted))
     mapping = graph.vertices.select("id", F.col("id").alias("label"))
     total_steps = 0
     converged = False

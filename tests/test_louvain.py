@@ -174,3 +174,72 @@ def test_louvain_multilevel_merges_clique_ring(spark):
     q = modularity(g, res.state).collect()[0][0]
     assert q > 0.5
     g.unpersist()
+
+
+def test_weighted_louvain_matches_weighted_replay(spark):
+    from sparkgraph.algorithms.louvain import louvain_move
+
+    wpairs = [(s, d, float(1 + (s + d) % 3)) for s, d in GRAPH_MAIN]
+    g = Graph(spark.createDataFrame(wpairs, "src long, dst long, weight double"))
+    got = {
+        r.id: r.label
+        for r in louvain_move(g, rounds=4, weighted=True).state.collect()
+    }
+    # weighted python replay: expand symmetrized weights into the move loop
+    w = defaultdict(int)
+    for s, d, x in wpairs:
+        w[(s, d)] += int(x)
+        w[(d, s)] += int(x)
+    deg = defaultdict(int)
+    for (s, d), x in w.items():
+        deg[s] += x
+    two_m = sum(w.values())
+    label = {v: v for v in deg}
+    prev_moved = None
+    for r in range(1, 5):
+        ctot = defaultdict(int)
+        for v in deg:
+            ctot[label[v]] += deg[v]
+        new, moved = {}, 0
+        for v in deg:
+            if (v + r) % 2 != 0:
+                new[v] = label[v]
+                continue
+            kvc = defaultdict(int)
+            for (s, d), x in w.items():
+                if s == v and d != v:
+                    kvc[label[d]] += x
+            best = None
+            for c in sorted(set(kvc) | {label[v]}):
+                gain = two_m * kvc.get(c, 0) - deg[v] * (
+                    ctot[c] - (deg[v] if c == label[v] else 0)
+                )
+                if best is None or gain > best[0]:
+                    best = (gain, c)
+            new[v] = best[1]
+            moved += new[v] != label[v]
+        label = new
+        if moved == 0 and prev_moved == 0:
+            break
+        prev_moved = moved
+    assert got == label
+    # unit weights reduce exactly to the unweighted path
+    g1 = Graph(edges_from_pairs(spark, GRAPH_MAIN), num_partitions=4)
+    uw = {r.id: r.label for r in louvain_move(g1, rounds=4).state.collect()}
+    g2 = Graph(
+        spark.createDataFrame(
+            [(s, d, 1.0) for s, d in GRAPH_MAIN], "src long, dst long, weight double"
+        )
+    )
+    ww = {r.id: r.label for r in louvain_move(g2, rounds=4, weighted=True).state.collect()}
+    assert uw == ww
+
+
+def test_weighted_louvain_rejects_fractional(spark):
+    import pytest as _pytest
+
+    from sparkgraph.algorithms.louvain import louvain_move
+
+    g = Graph(spark.createDataFrame([(1, 2, 0.5)], "src long, dst long, weight double"))
+    with _pytest.raises(ValueError, match="integer weights"):
+        louvain_move(g, weighted=True)
