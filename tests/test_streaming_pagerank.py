@@ -106,3 +106,33 @@ def test_streaming_pagerank_incremental(spark, tmp_path):
     # the second batch perturbs an existing graph: warm start must not be
     # slower than the cold run on a same-scale graph
     assert warm_steps <= cold_steps + 2
+
+
+def test_streaming_triangle_count_incremental(spark, tmp_path):
+    """Per-batch delta counting (affected-seeded, like incremental k-truss)
+    must track the batch recount of the accumulated graph exactly —
+    including triangles closed ACROSS batches and duplicate re-sends."""
+    from sparkgraph.algorithms.triangles import triangle_count
+    from sparkgraph.streaming import streaming_triangle_count
+
+    src_dir = tmp_path / "tri_in"
+    src_dir.mkdir()
+    work = str(tmp_path / "tri_work")
+    # batch 0: a triangle + an open wedge
+    _write_edges(src_dir / "p1.txt", [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6)])
+    q1 = streaming_triangle_count(stream_edges_from_files(spark, str(src_dir)), work)
+    q1.awaitTermination()
+    assert q1.history[-1]["total"] == 1
+    # batch 1: closes the wedge, adds a new triangle sharing edge (1,2), and
+    # re-sends a duplicate edge (must not recount)
+    _write_edges(src_dir / "p2.txt", [(4, 6), (2, 7), (1, 7), (1, 2)])
+    q2 = streaming_triangle_count(stream_edges_from_files(spark, str(src_dir)), work)
+    q2.awaitTermination()
+    total = q2.history[-1]["total"]
+    acc = Graph(
+        spark.read.parquet(f"{work}/edges").select("src", "dst", "weight"),
+        num_partitions=4,
+    )
+    assert total == triangle_count(acc, strategy="wedge") == 3
+    got = {r.batch_id: r.n_triangles for r in spark.read.parquet(f"{work}/count").collect()}
+    assert got[max(got)] == 3
