@@ -700,3 +700,119 @@ def boilerplate_strip(
             F.sha2(F.coalesce("clean_text", F.lit("")), 256).alias("clean_sha"),
         )
     )
+
+
+def streaming_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Stateless per-row MinHash signature for STREAMING inputs: the same
+    sig[i] = min over shingles of xxhash64(shingle, i) as
+    ``minhash_signatures``, but computed as pure column math over the
+    in-row shingle array (no shingle explode + groupBy, which a stream
+    can't re-aggregate) — bit-identical signatures (pytest-pinned)."""
+    toks = tokens(F.col(text_col))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+    def _minhash(i):
+        # factory, not a default-arg lambda: pyspark feeds a second lambda
+        # parameter the ARRAY INDEX, which would silently replace the seed
+        return lambda g: F.xxhash64(g, F.lit(i))
+
+    sig = F.array(
+        *[F.array_min(F.transform(grams, _minhash(i))) for i in range(num_hashes)]
+    )
+    return docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def streaming_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """STREAMING near-real-time near-dup detection: as documents arrive,
+    emit ``(a, b, est_jaccard)`` pairs whose signature agreement ≥ threshold
+    — including pairs whose members arrived in DIFFERENT micro-batches.
+
+    Shape: stateless signatures (``streaming_signatures``) → explode into
+    band buckets → ``applyInPandasWithState`` keyed by (band, bucket), whose
+    state is the bucket's signature matrix (ids array + packed int64 blob).
+    Each arriving doc is compared against the stored bucket members with one
+    vectorized matmul-style agreement count, then appended; ``max_bucket_size``
+    caps degenerate buckets (oldest members beyond the cap stop accruing
+    comparisons). A pair found by several bands is emitted once per band —
+    dedupe downstream with ``dropDuplicates(["a", "b"])`` if needed.
+
+    This is the streaming twin of ``minhash_lsh_pairs`` (estimate-based;
+    run the exact-verify join on the emitted candidates for the verified
+    contract)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = streaming_signatures(docs, id_col, text_col, n, num_hashes)
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[bi * r + j] for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"), "id", "sig")
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            ids, blob = state.get
+            ids = list(ids)
+            mat = np.frombuffer(blob, dtype=np.int64).reshape(-1, num_hashes)
+        else:
+            ids, mat = [], np.empty((0, num_hashes), dtype=np.int64)
+        out_a, out_b, out_e = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("id")
+            for doc_id, sig_arr in zip(pdf["id"], pdf["sig"]):
+                v = np.asarray(sig_arr, dtype=np.int64)
+                if len(ids):
+                    est = (mat == v).sum(axis=1) / float(num_hashes)
+                    hit = np.nonzero(est >= threshold)[0]
+                    for h in hit:
+                        a, b = sorted((int(ids[h]), int(doc_id)))
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_e.append(round(float(est[h]), 6))
+                if len(ids) < max_bucket_size and doc_id not in ids:
+                    ids.append(int(doc_id))
+                    mat = np.vstack([mat, v[None, :]])
+        state.update((ids, mat.tobytes()))
+        yield pd.DataFrame({"a": out_a, "b": out_b, "est_jaccard": out_e})
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        update,
+        outputStructType="a long, b long, est_jaccard double",
+        stateStructType="ids array<long>, blob binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

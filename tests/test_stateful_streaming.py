@@ -90,3 +90,58 @@ def test_ewma_stateful_and_resumes_across_restart(spark, tmp_path):
     assert math.isclose(
         got2[7][1], _ewma_oracle([10.0, 20.0, 30.0]), abs_tol=1e-9
     )
+
+
+def test_streaming_signatures_match_batch(spark):
+    """The stateless in-row signature must be bit-identical to the batch
+    shingle-explode + groupBy construction."""
+    from sparkgraph.text import minhash_signatures, shingles, streaming_signatures
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different content with other words here"),
+            (4, "ab"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = {r.id: list(r.sig) for r in minhash_signatures(shingles(docs)).collect()}
+    stream_style = {r.id: list(r.sig) for r in streaming_signatures(docs).collect()}
+    assert batch == stream_style
+
+
+def test_streaming_neardup_detects_cross_batch_pairs(spark, tmp_path):
+    """Near-dups arriving in DIFFERENT micro-batches are detected (bucket
+    state persists across batches); results match the batch LSH estimate."""
+    import pandas as pd
+
+    from sparkgraph.streaming import run_to_memory
+    from sparkgraph.text import minhash_lsh_pairs, streaming_neardup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    b1 = [(1, base), (3, "unrelated words about spark engines and graphs here")]
+    b2 = [(2, base + " extra"), (4, "yet more totally unrelated material okay")]
+    docs_dir = tmp_path / "docs_in"
+    docs_dir.mkdir()
+    pd.DataFrame(b1, columns=["doc_id", "text"]).to_parquet(docs_dir / "b1.parquet")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(docs_dir))
+    out1 = run_to_memory(
+        streaming_neardup_pairs(stream), "nd_t1", "append"
+    )
+    assert out1.count() == 0  # no pair within batch 1
+
+    pd.DataFrame(b2, columns=["doc_id", "text"]).to_parquet(docs_dir / "b2.parquet")
+    # fresh query re-reads both files; two micro-batch files, state carries
+    out2 = run_to_memory(
+        streaming_neardup_pairs(stream), "nd_t2", "append"
+    )
+    got = {(r.a, r.b) for r in out2.collect()}
+    assert got == {(1, 2)}
+    # estimate agrees with the batch LSH path on the union corpus
+    union = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    want = {
+        (r.a, r.b): r.est_jaccard for r in minhash_lsh_pairs(union).collect()
+    }
+    est = {r.est_jaccard for r in out2.collect()}
+    assert set(want) == {(1, 2)} and est == {want[(1, 2)]}
