@@ -1921,7 +1921,7 @@ cand{r} AS MATERIALIZED (
     UNION
     SELECT l.id, l.lbl AS c, COALESCE(k.kvc, 0) AS kvc
     FROM lab{r} l LEFT JOIN kv{r} k ON k.id = l.id AND k.c = l.lbl
-  ) WHERE (id + {rnd}) % 2 = 0
+  ) WHERE (((id * 2654435761) >> 4) + {rnd}) % 2 = 0
 ),
 sc{r} AS MATERIALIZED (
   SELECT cd.id, cd.c,
@@ -1940,7 +1940,7 @@ lab{r+1} AS MATERIALIZED (
     FROM sc{r}
   ) WHERE rn = 1
   UNION ALL
-  SELECT id, lbl FROM lab{r} WHERE (id + {rnd}) % 2 <> 0
+  SELECT id, lbl FROM lab{r} WHERE (((id * 2654435761) >> 4) + {rnd}) % 2 <> 0
 )"""
         )
     return (
@@ -1988,7 +1988,7 @@ wcd{r} AS MATERIALIZED (
     UNION
     SELECT l.id, l.lbl AS c, COALESCE(k.kvc, 0) AS kvc
     FROM wl{r} l LEFT JOIN wkv{r} k ON k.id = l.id AND k.c = l.lbl
-  ) WHERE (id + {rnd}) % 2 = 0
+  ) WHERE (((id * 2654435761) >> 4) + {rnd}) % 2 = 0
 ),
 wsc{r} AS MATERIALIZED (
   SELECT cd.id, cd.c,
@@ -2007,7 +2007,7 @@ wl{r+1} AS MATERIALIZED (
     FROM wsc{r}
   ) WHERE rn = 1
   UNION ALL
-  SELECT id, lbl FROM wl{r} WHERE (id + {rnd}) % 2 <> 0
+  SELECT id, lbl FROM wl{r} WHERE (((id * 2654435761) >> 4) + {rnd}) % 2 <> 0
 )"""
         )
     return (
@@ -2060,7 +2060,7 @@ cd{L}r{r} AS MATERIALIZED (
     UNION
     SELECT l.id, l.lbl AS c, COALESCE(k.kvc, 0) AS kvc
     FROM l{L}r{r} l LEFT JOIN kv{L}r{r} k ON k.id = l.id AND k.c = l.lbl
-  ) WHERE (id + {rnd}) % 2 = 0
+  ) WHERE (((id * 2654435761) >> 4) + {rnd}) % 2 = 0
 ),
 sc{L}r{r} AS MATERIALIZED (
   SELECT cd.id, cd.c,
@@ -2079,7 +2079,7 @@ l{L}r{r+1} AS MATERIALIZED (
     FROM sc{L}r{r}
   ) WHERE rn = 1
   UNION ALL
-  SELECT id, lbl FROM l{L}r{r} WHERE (id + {rnd}) % 2 <> 0
+  SELECT id, lbl FROM l{L}r{r} WHERE (((id * 2654435761) >> 4) + {rnd}) % 2 <> 0
 )"""
             )
         ctes.append(

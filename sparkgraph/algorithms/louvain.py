@@ -9,10 +9,14 @@ ships) — on a dependency graph they recover module boundaries instead of
 flood-fill label majorities.
 
 Semantics (deterministic, replayable): on round r the ACTIVE vertices —
-those with (id + r) % 2 == 0, the standard alternating-subset guard that
-stops synchronous moving from oscillating (fully-synchronous updates chase
-each other on symmetric structures; measured on a 6-triangle ring: Q 0.146
-stuck oscillating vs 0.583 with alternation) — each evaluate moving to
+those with ((id·2654435761) >> 4 + r) % 2 == 0, an alternating-subset guard
+on a BIT-MIXED id that stops synchronous moving from oscillating
+(fully-synchronous updates chase each other on symmetric structures;
+measured on a 6-triangle ring: Q 0.146 stuck oscillating vs 0.583 with
+alternation; the mix matters because COARSE-level vertex ids are community
+labels that can share raw parity, which would degenerate a plain (id+r)%2
+guard back to full-synchronous swaps — observed on SBM block halves) —
+each evaluate moving to
 every NEIGHBORING community (or staying), using the standard modularity
 gain with the vertex removed from its current community, and adopt the
 argmax. Each level runs at most K rounds, stopping early only after TWO
@@ -41,6 +45,8 @@ from pyspark.sql import functions as F
 from sparkgraph.graph import Graph
 from sparkgraph.pregel import PregelResult, SuperstepLoop, truncate_lineage
 
+PARITY_MIX = 2654435761  # Knuth multiplicative; >>4 decorrelates bit 0
+
 
 def _move_phase(
     e: DataFrame, rounds: int, loop: SuperstepLoop, step0: int
@@ -61,8 +67,14 @@ def _move_phase(
         ctot = (
             labels.join(deg, "id").groupBy("label").agg(F.sum("deg").alias("tot"))
         )
-        # alternating-subset guard: only (id + round) % 2 == 0 vertices move
-        active = F.pmod(F.col("id") + F.lit(step), F.lit(2)) == 0
+        # alternating-subset guard on the BIT-MIXED id (see module docstring)
+        active = (
+            F.pmod(
+                F.shiftright(F.col("id") * F.lit(PARITY_MIX), 4) + F.lit(step),
+                F.lit(2),
+            )
+            == 0
+        )
         kvc = (
             e.filter(F.col("src") != F.col("dst"))
             .join(

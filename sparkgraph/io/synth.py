@@ -160,3 +160,38 @@ def powerlaw_edges(
         )
         .filter(F.col("src") != F.col("dst"))
     )
+
+
+def sbm_edges(
+    spark: SparkSession,
+    n_blocks: int = 4,
+    block_size: int = 100,
+    p_in: float = 0.3,
+    p_out: float = 0.01,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic stochastic-block-model edge table: vertex v belongs to
+    block v // block_size; each (i < j) pair keeps an edge with probability
+    p_in (same block) or p_out (cross block), decided by a pure xxhash64
+    threshold — reproducible in (params, seed), no RNG state.
+
+    The planted-partition benchmark for community detection (Louvain/LPA
+    recovery tests) and a second skew shape beside ``powerlaw_edges``.
+    Materializes the n² pair grid before filtering — a TEST/BENCH generator
+    (fine to ~10⁵ vertices), not a 100 TB synthesizer."""
+    n = n_blocks * block_size
+    pairs = (
+        spark.range(n)
+        .select(F.col("id").alias("src"))
+        .join(spark.range(n).select(F.col("id").alias("dst")))
+        .filter(F.col("src") < F.col("dst"))
+    )
+    same = (F.col("src") / block_size).cast("long") == (
+        F.col("dst") / block_size
+    ).cast("long")
+    u = (
+        F.abs(F.xxhash64("src", "dst", F.lit(seed))) % 1_000_000_007
+    ) / 1_000_000_007.0
+    return pairs.filter(
+        F.when(same, u < p_in).otherwise(u < p_out)
+    ).select("src", "dst", F.lit(1.0).alias("weight"))

@@ -29,7 +29,7 @@ def _louvain_oracle(pairs, rounds):
         new = {}
         moved = 0
         for v in deg:
-            if (v + r) % 2 != 0:  # alternating-subset guard
+            if (((v * 2654435761) >> 4) + r) % 2 != 0:  # mixed-parity guard
                 new[v] = label[v]
                 continue
             kvc = defaultdict(int)
@@ -105,7 +105,7 @@ def _louvain_multilevel_oracle(pairs, rounds, levels):
                 ctot[label[v]] += deg[v]
             new, moved = {}, 0
             for v in deg:
-                if (v + r) % 2 != 0:  # alternating-subset guard
+                if (((v * 2654435761) >> 4) + r) % 2 != 0:  # mixed-parity guard
                     new[v] = label[v]
                     continue
                 kvc = defaultdict(int)
@@ -202,7 +202,7 @@ def test_weighted_louvain_matches_weighted_replay(spark):
             ctot[label[v]] += deg[v]
         new, moved = {}, 0
         for v in deg:
-            if (v + r) % 2 != 0:
+            if (((v * 2654435761) >> 4) + r) % 2 != 0:
                 new[v] = label[v]
                 continue
             kvc = defaultdict(int)
@@ -243,3 +243,27 @@ def test_weighted_louvain_rejects_fractional(spark):
     g = Graph(spark.createDataFrame([(1, 2, 0.5)], "src long, dst long, weight double"))
     with _pytest.raises(ValueError, match="integer weights"):
         louvain_move(g, weighted=True)
+
+
+def test_louvain_recovers_sbm_planted_blocks(spark):
+    """Planted-partition recovery: on an SBM with strong assortativity the
+    multi-level Louvain must put an overwhelming majority of each block
+    into a single community, and distinct blocks into distinct ones."""
+    from collections import Counter
+
+    from sparkgraph.algorithms.louvain import louvain
+    from sparkgraph.io.synth import sbm_edges
+
+    n_blocks, bs = 4, 25
+    e = sbm_edges(spark, n_blocks, bs, p_in=0.5, p_out=0.02, seed=7)
+    g = Graph(e, num_partitions=4)
+    res = louvain(g, rounds_per_level=6, max_levels=3)
+    got = {r.id: r.label for r in res.state.collect()}
+    majors = []
+    for b in range(n_blocks):
+        labs = Counter(got[v] for v in range(b * bs, (b + 1) * bs) if v in got)
+        lab, cnt = labs.most_common(1)[0]
+        assert cnt >= 0.8 * sum(labs.values()), (b, labs)
+        majors.append(lab)
+    assert len(set(majors)) == n_blocks  # blocks map to distinct communities
+    g.unpersist()
