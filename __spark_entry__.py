@@ -1290,7 +1290,7 @@ WITH g AS (
 ),
 d AS (SELECT DISTINCT doc_id, hv FROM g),
 r AS (SELECT doc_id, hv, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hv) AS rn FROM d)
-SELECT doc_id AS id, MIN(hv) AS min_hash, SUM(hv) AS fp_sum, COUNT(*) AS fp_len
+SELECT doc_id AS id, MIN(hv) AS min_hash, CAST(SUM(hv) AS BIGINT) AS fp_sum, COUNT(*) AS fp_len
 FROM r WHERE rn <= {k} GROUP BY doc_id"""
 
 
@@ -1894,8 +1894,11 @@ def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _louvain_sql(rounds: int) -> str:
     """Closed-form twin of algorithms.louvain.louvain_move: per 1-based
-    round r, only vertices with (id + r) % 2 = 0 move (alternating-subset
-    guard); community degree totals + per-vertex neighbor-community
+    round r, only vertices with ((pmod(id, 2^31)·2654435761) >> 4 + r) % 2
+    = 0 move (the bit-mixed alternating-subset guard the module docstring
+    calls load-bearing; pmod bounds the id so the multiply cannot overflow
+    int64 under ANSI mode — mirrored engine-side in louvain.PARITY_BOUND);
+    community degree totals + per-vertex neighbor-community
     multiplicities (self-pairs excluded), the INTEGER-scaled gain
     2m·k_{v,c} − k_v·(Σ_c − [c=own]·k_v), argmax with smallest-community
     tie-break, unrolled."""
@@ -1921,7 +1924,7 @@ cand{r} AS MATERIALIZED (
     UNION
     SELECT l.id, l.lbl AS c, COALESCE(k.kvc, 0) AS kvc
     FROM lab{r} l LEFT JOIN kv{r} k ON k.id = l.id AND k.c = l.lbl
-  ) WHERE (((id * 2654435761) >> 4) + {rnd}) % 2 = 0
+  ) WHERE ((((((id % 2147483648) + 2147483648) % 2147483648) * 2654435761) >> 4) + {rnd}) % 2 = 0
 ),
 sc{r} AS MATERIALIZED (
   SELECT cd.id, cd.c,
@@ -1940,7 +1943,7 @@ lab{r+1} AS MATERIALIZED (
     FROM sc{r}
   ) WHERE rn = 1
   UNION ALL
-  SELECT id, lbl FROM lab{r} WHERE (((id * 2654435761) >> 4) + {rnd}) % 2 <> 0
+  SELECT id, lbl FROM lab{r} WHERE ((((((id % 2147483648) + 2147483648) % 2147483648) * 2654435761) >> 4) + {rnd}) % 2 <> 0
 )"""
         )
     return (
@@ -1988,7 +1991,7 @@ wcd{r} AS MATERIALIZED (
     UNION
     SELECT l.id, l.lbl AS c, COALESCE(k.kvc, 0) AS kvc
     FROM wl{r} l LEFT JOIN wkv{r} k ON k.id = l.id AND k.c = l.lbl
-  ) WHERE (((id * 2654435761) >> 4) + {rnd}) % 2 = 0
+  ) WHERE ((((((id % 2147483648) + 2147483648) % 2147483648) * 2654435761) >> 4) + {rnd}) % 2 = 0
 ),
 wsc{r} AS MATERIALIZED (
   SELECT cd.id, cd.c,
@@ -2007,7 +2010,7 @@ wl{r+1} AS MATERIALIZED (
     FROM wsc{r}
   ) WHERE rn = 1
   UNION ALL
-  SELECT id, lbl FROM wl{r} WHERE (((id * 2654435761) >> 4) + {rnd}) % 2 <> 0
+  SELECT id, lbl FROM wl{r} WHERE ((((((id % 2147483648) + 2147483648) % 2147483648) * 2654435761) >> 4) + {rnd}) % 2 <> 0
 )"""
         )
     return (
@@ -2060,7 +2063,7 @@ cd{L}r{r} AS MATERIALIZED (
     UNION
     SELECT l.id, l.lbl AS c, COALESCE(k.kvc, 0) AS kvc
     FROM l{L}r{r} l LEFT JOIN kv{L}r{r} k ON k.id = l.id AND k.c = l.lbl
-  ) WHERE (((id * 2654435761) >> 4) + {rnd}) % 2 = 0
+  ) WHERE ((((((id % 2147483648) + 2147483648) % 2147483648) * 2654435761) >> 4) + {rnd}) % 2 = 0
 ),
 sc{L}r{r} AS MATERIALIZED (
   SELECT cd.id, cd.c,
@@ -2079,7 +2082,7 @@ l{L}r{r+1} AS MATERIALIZED (
     FROM sc{L}r{r}
   ) WHERE rn = 1
   UNION ALL
-  SELECT id, lbl FROM l{L}r{r} WHERE (((id * 2654435761) >> 4) + {rnd}) % 2 <> 0
+  SELECT id, lbl FROM l{L}r{r} WHERE ((((((id % 2147483648) + 2147483648) % 2147483648) * 2654435761) >> 4) + {rnd}) % 2 <> 0
 )"""
             )
         ctes.append(
@@ -2167,8 +2170,8 @@ p AS MATERIALIZED (
   SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v, COUNT(*) AS ndir
   FROM d WHERE src <> dst GROUP BY 1, 2
 )
-SELECT COALESCE(SUM(CASE WHEN ndir = 2 THEN 1 ELSE 0 END), 0) AS n_mutual_pairs,
-       COALESCE(SUM(CASE WHEN ndir = 1 THEN 1 ELSE 0 END), 0) AS n_asym_pairs,
+SELECT CAST(COALESCE(SUM(CASE WHEN ndir = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_mutual_pairs,
+       CAST(COALESCE(SUM(CASE WHEN ndir = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_asym_pairs,
        ROUND(COALESCE(SUM(CASE WHEN ndir = 2 THEN 1 ELSE 0 END), 0)
              * 1.0 / GREATEST(COUNT(*), 1), 6) AS reciprocity
 FROM p"""

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from sparkgraph.graph import Graph
-from sparkgraph.pregel import PregelResult, SuperstepLoop, truncate_lineage
+from sparkgraph.pregel import MAX_FIXPOINT_ITERS, PregelResult, SuperstepLoop, truncate_lineage
 
 
 def betweenness_sampled(
@@ -32,7 +32,7 @@ def betweenness_sampled(
     k: int = 8,
     pivots: list[int] | None = None,
     normalize: bool = True,
-    max_depth: int = 10_000,
+    max_depth: int = MAX_FIXPOINT_ITERS,
 ) -> PregelResult:
     """Returns state ``(id, betweenness: double)`` — Brandes dependency sums
     from ``k`` pivot sources, scaled by n/k (unbiased estimator of the exact

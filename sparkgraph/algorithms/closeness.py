@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from sparkgraph.graph import Graph
-from sparkgraph.pregel import PregelResult, SuperstepLoop, truncate_lineage
+from sparkgraph.pregel import MAX_FIXPOINT_ITERS, PregelResult, SuperstepLoop, truncate_lineage
 
 
 def harmonic_closeness_sampled(
@@ -29,7 +29,7 @@ def harmonic_closeness_sampled(
     k: int = 8,
     pivots: list[int] | None = None,
     normalize: bool = True,
-    max_depth: int = 10_000,
+    max_depth: int = MAX_FIXPOINT_ITERS,
 ) -> PregelResult:
     """Returns state ``(id, closeness: double)`` — ``(n/k)·Σ_{p∈pivots, p≠v}
     1/d(p,v)``, exact when the pivots cover every vertex; ``normalize``
@@ -98,7 +98,7 @@ def eccentricity_sampled(
     graph: Graph,
     k: int = 8,
     pivots: list[int] | None = None,
-    max_depth: int = 10_000,
+    max_depth: int = MAX_FIXPOINT_ITERS,
 ) -> PregelResult:
     """Per-pivot eccentricity (max BFS depth within the pivot's component) via
     the same one-loop multi-pivot BFS; ``max(eccentricity)`` over the sample

@@ -17,12 +17,19 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sparkgraph.graph import Graph
-from sparkgraph.pregel import Checkpointer, PregelResult, SuperstepLoop, truncate_lineage
+from sparkgraph.pregel import (
+    MAX_FIXPOINT_ITERS,
+    Checkpointer,
+    PregelResult,
+    SuperstepLoop,
+    truncate_lineage,
+    warn_unconverged,
+)
 
 
 def connected_components(
     graph: Graph,
-    max_iter: int = 10_000,
+    max_iter: int = MAX_FIXPOINT_ITERS,
     checkpointer: Checkpointer | None = None,
     resume: bool = False,
     initial_labels=None,
@@ -84,4 +91,6 @@ def connected_components(
             converged = True
             break
 
+    if not converged:
+        warn_unconverged("connected_components", step, max_iter)
     return loop.finish(state, step, converged, result=state.select("id", "component"))

@@ -9,7 +9,8 @@ ships) — on a dependency graph they recover module boundaries instead of
 flood-fill label majorities.
 
 Semantics (deterministic, replayable): on round r the ACTIVE vertices —
-those with ((id·2654435761) >> 4 + r) % 2 == 0, an alternating-subset guard
+those with ((pmod(id, 2^31)·2654435761) >> 4 + r) % 2 == 0, an
+alternating-subset guard
 on a BIT-MIXED id that stops synchronous moving from oscillating
 (fully-synchronous updates chase each other on symmetric structures;
 measured on a 6-triangle ring: Q 0.146 stuck oscillating vs 0.583 with
@@ -46,6 +47,11 @@ from sparkgraph.graph import Graph
 from sparkgraph.pregel import PregelResult, SuperstepLoop, truncate_lineage
 
 PARITY_MIX = 2654435761  # Knuth multiplicative; >>4 decorrelates bit 0
+# Bound the id BEFORE multiplying: full-range xxhash64 vertex ids (ingest.py)
+# would overflow int64 under ANSI mode in `id * PARITY_MIX`. pmod maps any
+# long (incl. negative) into [0, 2^31), and 2^31 * PARITY_MIX < 2^63. For
+# ids < 2^31 (every gate graph) this is bit-identical to the unbounded mix.
+PARITY_BOUND = 2**31
 
 
 def _move_phase(
@@ -70,7 +76,10 @@ def _move_phase(
         # alternating-subset guard on the BIT-MIXED id (see module docstring)
         active = (
             F.pmod(
-                F.shiftright(F.col("id") * F.lit(PARITY_MIX), 4) + F.lit(step),
+                F.shiftright(
+                    F.pmod(F.col("id"), F.lit(PARITY_BOUND)) * F.lit(PARITY_MIX), 4
+                )
+                + F.lit(step),
                 F.lit(2),
             )
             == 0

@@ -31,11 +31,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from sparkgraph.pregel import PregelResult, SuperstepLoop, truncate_lineage
+from sparkgraph.pregel import (
+    MAX_FIXPOINT_ITERS,
+    PregelResult,
+    SuperstepLoop,
+    truncate_lineage,
+    warn_unconverged,
+)
 
 
 def strongly_connected_components(
-    edges: DataFrame, max_rounds: int = 50, max_iter: int = 10_000
+    edges: DataFrame, max_rounds: int = 50, max_iter: int = MAX_FIXPOINT_ITERS
 ) -> PregelResult:
     """``edges(src, dst)`` directed → state ``(id, scc: long)``, scc = min
     vertex id in the strongly connected component (singletons included).
@@ -167,4 +173,6 @@ def strongly_connected_components(
         "id", F.col("id").alias("scc")
     )
     e.unpersist()
+    if not converged:
+        warn_unconverged("scc", step, max_iter)
     return loop.finish(state, step, converged, result=state)

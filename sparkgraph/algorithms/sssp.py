@@ -21,7 +21,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sparkgraph.graph import Graph
-from sparkgraph.pregel import Checkpointer, PregelResult, SuperstepLoop, truncate_lineage
+from sparkgraph.pregel import (
+    MAX_FIXPOINT_ITERS,
+    Checkpointer,
+    PregelResult,
+    SuperstepLoop,
+    truncate_lineage,
+    warn_unconverged,
+)
 
 _INF = float("inf")
 
@@ -29,7 +36,7 @@ _INF = float("inf")
 def sssp(
     graph: Graph,
     source: int,
-    max_iter: int = 10_000,
+    max_iter: int = MAX_FIXPOINT_ITERS,
     checkpointer: Checkpointer | None = None,
     resume: bool = False,
     track_parents: bool = False,
@@ -99,5 +106,7 @@ def sssp(
             converged = True
             break
 
+    if not converged:
+        warn_unconverged("sssp", step, max_iter)
     result_cols = ["id", "dist"] + (["parent"] if track_parents else [])
     return loop.finish(state, step, converged, result=state.select(*result_cols))

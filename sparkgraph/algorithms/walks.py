@@ -326,6 +326,9 @@ def node2vec_walks(
             F.col("wnext").alias("a_wnext"),
         )
         .repartition(graph.num_partitions, "a_prev", "a_cur", "a_idx")
+        # joined once per hop by the returned lazy plan — an in-function
+        # unpersist would recompute the Σdeg² slot table every hop (see
+        # text.tfidf_top_terms note); LRU-evictable, ContextCleaner-reclaimed
         .persist()
     )
 

@@ -42,7 +42,7 @@ import pyarrow as pa
 from pyspark.sql import functions as F
 
 from sparkgraph.graph import Graph
-from sparkgraph.pregel import PregelResult, SuperstepMetrics
+from sparkgraph.pregel import MAX_FIXPOINT_ITERS, PregelResult, SuperstepMetrics, warn_unconverged
 
 import time
 
@@ -323,13 +323,16 @@ def _frontier_min_loop(graph: Graph, init: np.ndarray, plus_weight: bool,
         )
 
     pg.unpersist()
+    converged = not frontier.any()  # empty frontier = true fixpoint
+    if not converged:
+        warn_unconverged(f"csr_frontier_min[{out_col}]", step, max_iter)
     out = spark.createDataFrame(
         pd.DataFrame({"id": ids, out_col: val}), f"id long, {out_col} double"
     )
-    return PregelResult(state=out, supersteps=step, converged=True, metrics=metrics)
+    return PregelResult(state=out, supersteps=step, converged=converged, metrics=metrics)
 
 
-def sssp_csr(graph: Graph, source: int, max_iter: int = 10_000) -> PregelResult:
+def sssp_csr(graph: Graph, source: int, max_iter: int = MAX_FIXPOINT_ITERS) -> PregelResult:
     """SSSP on the CSR pack — same semantics as ``algorithms.sssp``
     (intended Pregel min-plus; +inf for unreachable)."""
     pg_ids = np.sort(graph.vertices.toPandas()["id"].to_numpy(dtype=np.int64))
@@ -341,7 +344,7 @@ def sssp_csr(graph: Graph, source: int, max_iter: int = 10_000) -> PregelResult:
                               out_col="dist")
 
 
-def cc_csr(graph: Graph, max_iter: int = 10_000) -> PregelResult:
+def cc_csr(graph: Graph, max_iter: int = MAX_FIXPOINT_ITERS) -> PregelResult:
     """Connected components (hash-min) on the CSR pack — label = min id in
     component, returned as double-typed 'component' converted to long."""
     ids = np.sort(graph.vertices.toPandas()["id"].to_numpy(dtype=np.int64))
@@ -353,5 +356,5 @@ def cc_csr(graph: Graph, max_iter: int = 10_000) -> PregelResult:
     res = _frontier_min_loop(graph, ids.astype(np.float64), plus_weight=False,
                              max_iter=max_iter, out_col="component")
     out = res.state.select("id", F.col("component").cast("long").alias("component"))
-    return PregelResult(state=out, supersteps=res.supersteps, converged=True,
-                        metrics=res.metrics)
+    return PregelResult(state=out, supersteps=res.supersteps,
+                        converged=res.converged, metrics=res.metrics)

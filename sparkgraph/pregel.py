@@ -13,6 +13,7 @@ JSON manifest carrying per-partition lineage and convergence metrics
 from __future__ import annotations
 
 import json
+import logging
 import os
 import time
 from dataclasses import dataclass, field
@@ -21,6 +22,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MANIFEST_NAME = "_manifest.json"
+
+_log = logging.getLogger("sparkgraph")
+
+# Default iteration ceiling for fixpoint loops (SSSP, CC, SCC, BFS depth).
+# Far above any real graph's diameter — it exists purely as a runaway guard,
+# so a loop that actually HITS it did not converge; ``warn_unconverged``
+# makes that visible instead of returning a silently-partial result.
+MAX_FIXPOINT_ITERS = 10_000
+
+
+def warn_unconverged(algorithm: str, supersteps: int, max_iter: int) -> None:
+    """Convergence-guard log line: called by fixpoint loops that exit on the
+    iteration ceiling rather than an empty frontier / zero-change round."""
+    _log.warning(
+        "%s stopped at the max_iter ceiling (%d of %d supersteps) WITHOUT "
+        "reaching its fixpoint — the returned state may be partial; raise "
+        "max_iter or inspect the frontier-decay metrics",
+        algorithm, supersteps, max_iter,
+    )
 
 
 def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:

@@ -22,10 +22,34 @@ drain-everything semantics.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkgraph.io.edgelist import _EDGE_RE
+from sparkgraph.pregel import MAX_FIXPOINT_ITERS
+
+
+def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """Batch-read ``path`` if it exists, else None. Recovery-safe warm-start
+    probe: a query restarted from checkpoint has an EMPTY driver-side
+    ``history`` list but valid published state on disk — probing the path
+    (not the in-memory history) keeps warm starts across restarts."""
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force resolution now, inside the try
+        return df
+    except AnalysisException:
+        return None
+
+
+def _start_foreach_batch(edges: DataFrame, process, checkpoint_dir: str | None):
+    """foreachBatch + availableNow, with an optional real checkpoint so a
+    later call resumes batch numbering instead of re-binning from scratch."""
+    w = edges.writeStream.foreachBatch(process)
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.trigger(availableNow=True).start()
 
 
 def stream_edges_from_files(spark: SparkSession, path: str) -> DataFrame:
@@ -153,6 +177,7 @@ def streaming_pagerank(
     tol: float = 1e-6,
     damping: float = 0.85,
     max_iter: int = 200,
+    checkpoint_dir: str | None = None,
 ):
     """Incremental PageRank over an unbounded edge stream: each micro-batch
     appends its edges to the accumulated parquet edge table, recomputes
@@ -192,9 +217,7 @@ def streaming_pagerank(
             os.path.join(edges_dir, f"batch_id={batch_id}")
         )
         g = Graph(spark.read.parquet(edges_dir))
-        warm = None
-        if history:  # previous batch published scores
-            warm = spark.read.parquet(scores_dir)
+        warm = _read_if_exists(spark, scores_dir)  # survives query restarts
         res = pagerank(
             g, mode="convergence", tol=tol, damping=damping, max_iter=max_iter,
             initial_state=warm,
@@ -206,12 +229,17 @@ def streaming_pagerank(
              "n_vertices": g.num_vertices}
         )
 
-    q = edges.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+    q = _start_foreach_batch(edges, process, checkpoint_dir)
     q.history = history  # type: ignore[attr-defined]
     return q
 
 
-def streaming_connected_components(edges: DataFrame, work_dir: str, max_iter: int = 10_000):
+def streaming_connected_components(
+    edges: DataFrame,
+    work_dir: str,
+    max_iter: int = MAX_FIXPOINT_ITERS,
+    checkpoint_dir: str | None = None,
+):
     """Incremental connected components over an edge stream: per micro-batch,
     append edges, re-run hash-min CC warm-started from the previous labels
     (new edges only merge components, and an old label is a valid id inside
@@ -237,7 +265,7 @@ def streaming_connected_components(edges: DataFrame, work_dir: str, max_iter: in
             os.path.join(edges_dir, f"batch_id={batch_id}")
         )
         g = Graph(spark.read.parquet(edges_dir))
-        warm = spark.read.parquet(labels_dir) if history else None
+        warm = _read_if_exists(spark, labels_dir)  # survives query restarts
         res = connected_components(g, max_iter=max_iter, initial_labels=warm)
         res.state.select("id", "component").write.mode("overwrite").parquet(labels_dir)
         history.append(
@@ -245,7 +273,7 @@ def streaming_connected_components(edges: DataFrame, work_dir: str, max_iter: in
              "n_vertices": g.num_vertices}
         )
 
-    q = edges.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+    q = _start_foreach_batch(edges, process, checkpoint_dir)
     q.history = history  # type: ignore[attr-defined]
     return q
 
@@ -266,7 +294,9 @@ def run_to_memory(
     return df.sparkSession.table(name)
 
 
-def streaming_triangle_count(edges: DataFrame, work_dir: str):
+def streaming_triangle_count(
+    edges: DataFrame, work_dir: str, checkpoint_dir: str | None = None
+):
     """Incremental triangle counting over an edge stream: per micro-batch,
     append edges (batch_id-keyed, idempotent — same contract as
     streaming_pagerank), enumerate ONLY the triangles that contain at least
@@ -277,10 +307,18 @@ def streaming_triangle_count(edges: DataFrame, work_dir: str):
     Per-batch cost is O(wedges incident to new edges), never a full
     triangle pass over the accumulated graph. ``query.history`` carries
     (batch_id, new_edges, delta, total); the running total is published to
-    ``<work_dir>/count``."""
+    ``<work_dir>/count``.
+
+    Restart safety: per-batch DELTAS are persisted batch_id-keyed (same
+    idempotent-overwrite contract as the edges), and the published total is
+    the SUM of persisted deltas — not a driver-memory accumulator — so a
+    query recovered from checkpoint (empty ``history``, batch numbering
+    continuing) republishes the correct total instead of restarting the
+    count from the recovered batch's delta."""
     import os
 
     edges_dir = os.path.join(work_dir, "edges")
+    deltas_dir = os.path.join(work_dir, "deltas")
     count_dir = os.path.join(work_dir, "count")
     history: list[dict] = []
 
@@ -325,7 +363,17 @@ def streaming_triangle_count(edges: DataFrame, work_dir: str):
         )
         n_new = new.count()
         full.unpersist()
-        total = (history[-1]["total"] if history else 0) + delta
+        spark.createDataFrame([(delta,)], "delta long").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(deltas_dir, f"batch_id={batch_id}"))
+        # batch_id <= current guards against stale higher-numbered subdirs
+        # left by a previous, differently-binned run of the same work_dir
+        total = (
+            spark.read.parquet(deltas_dir)
+            .filter(F.col("batch_id") <= batch_id)
+            .agg(F.coalesce(F.sum("delta"), F.lit(0)))
+            .collect()[0][0]
+        )
         spark.createDataFrame(
             [(batch_id, total)], "batch_id long, n_triangles long"
         ).write.mode("overwrite").parquet(count_dir)
@@ -333,6 +381,6 @@ def streaming_triangle_count(edges: DataFrame, work_dir: str):
             {"batch_id": batch_id, "new_edges": n_new, "delta": delta, "total": total}
         )
 
-    q = edges.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+    q = _start_foreach_batch(edges, process, checkpoint_dir)
     q.history = history  # type: ignore[attr-defined]
     return q

@@ -503,7 +503,11 @@ def tfidf_top_terms(
     # tf feeds BOTH the idf aggregation and the scoring join; without an
     # explicit persist Spark re-tokenizes the full corpus for each branch
     # (no ReusedExchange fires — the branches prune differently). Cached
-    # MEMORY_AND_DISK; evicted LRU / on session cleanup.
+    # MEMORY_AND_DISK. Deliberately NOT unpersisted here (unlike ivf_train's
+    # try/finally): the RETURNED plan is lazy and reads this cache, so an
+    # in-function unpersist would silently recompute both branches at the
+    # caller's action. The cache is LRU-evictable and reclaimed by Spark's
+    # ContextCleaner once the result DataFrame is dropped driver-side.
     tf = (
         toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     )
@@ -659,7 +663,9 @@ def boilerplate_strip(
     import re as _re
 
     # segs feeds the boilerplate frequency, the anti-join, and the per-doc
-    # totals — persisted so the corpus is tokenized ONCE, not per branch
+    # totals — persisted so the corpus is tokenized ONCE, not per branch.
+    # Not unpersisted in-function: the returned lazy plan reads this cache
+    # (see tfidf_top_terms note); LRU-evictable, ContextCleaner-reclaimed.
     segs = (
         df.select(
             F.col(id_col).alias("id"),

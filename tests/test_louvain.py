@@ -235,6 +235,60 @@ def test_weighted_louvain_matches_weighted_replay(spark):
     assert uw == ww
 
 
+def test_louvain_survives_xxhash64_range_ids(spark):
+    """Regression: the parity guard must not overflow int64 under ANSI mode
+    on full-range (incl. negative) xxhash64 vertex ids — the ids ingest.py
+    actually produces. Before PARITY_BOUND, `id * 2654435761` raised
+    ARITHMETIC_OVERFLOW for |id| > ~3.5e9."""
+    base = 7_000_000_000_000_000_000  # near int64 max after +small offsets
+    verts = sorted({v for e in GRAPH_MAIN for v in e})
+    big = {v: base + v * 13 for v in verts}
+    big[verts[0]] = -8_123_456_789_012_345_678  # negative, like xxhash64
+    big[verts[5]] = -4_611_686_018_427_387_911
+    pairs = [(big[s], big[d]) for s, d in GRAPH_MAIN]
+    g = Graph(edges_from_pairs(spark, pairs), num_partitions=4)
+    got = {r.id: r.label for r in louvain_move(g, rounds=4).state.collect()}
+
+    # replay with the bounded guard: pmod(id, 2^31) before the Knuth mix
+    # (Python's % with a positive modulus IS pmod, matching F.pmod)
+    sym = symmetrize(pairs)
+    deg, nbrs = defaultdict(int), defaultdict(list)
+    for s, d in sym:
+        deg[s] += 1
+        nbrs[s].append(d)
+    two_m = len(sym)
+    label = {v: v for v in deg}
+    prev_moved = None
+    for r in range(1, 5):
+        ctot = defaultdict(int)
+        for v in deg:
+            ctot[label[v]] += deg[v]
+        new, moved = {}, 0
+        for v in deg:
+            if ((((v % 2**31) * 2654435761) >> 4) + r) % 2 != 0:
+                new[v] = label[v]
+                continue
+            kvc = defaultdict(int)
+            for u in nbrs[v]:
+                if u != v:
+                    kvc[label[u]] += 1
+            best = None
+            for c in sorted(set(kvc) | {label[v]}):
+                gain = two_m * kvc.get(c, 0) - deg[v] * (
+                    ctot[c] - (deg[v] if c == label[v] else 0)
+                )
+                if best is None or gain > best[0]:
+                    best = (gain, c)
+            new[v] = best[1]
+            moved += new[v] != label[v]
+        label = new
+        if moved == 0 and prev_moved == 0:
+            break
+        prev_moved = moved
+    assert got == label
+    g.unpersist()
+
+
 def test_weighted_louvain_rejects_fractional(spark):
     import pytest as _pytest
 

@@ -136,3 +136,35 @@ def test_streaming_triangle_count_incremental(spark, tmp_path):
     assert total == triangle_count(acc, strategy="wedge") == 3
     got = {r.batch_id: r.n_triangles for r in spark.read.parquet(f"{work}/count").collect()}
     assert got[max(got)] == 3
+
+
+def test_streaming_triangle_count_checkpoint_recovery(spark, tmp_path):
+    """Restart-from-checkpoint regression (ADVICE r3): a recovered query has
+    an EMPTY driver-side history but batch numbering continues — the
+    published total must be the sum of PERSISTED per-batch deltas, not a
+    restart from the recovered batch's delta."""
+    from sparkgraph.streaming import streaming_triangle_count
+
+    src_dir = tmp_path / "tri_in"
+    src_dir.mkdir()
+    work = str(tmp_path / "tri_work")
+    ckpt = str(tmp_path / "tri_ckpt")
+    _write_edges(src_dir / "p1.txt", [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6)])
+    q1 = streaming_triangle_count(
+        stream_edges_from_files(spark, str(src_dir)), work, checkpoint_dir=ckpt
+    )
+    q1.awaitTermination()
+    assert q1.history[-1]["total"] == 1
+    # new file, NEW query object sharing the checkpoint: only p2 is
+    # processed (as batch 1), with history starting empty — the recovery
+    # scenario. Old code published total = delta = 2 here.
+    _write_edges(src_dir / "p2.txt", [(4, 6), (2, 7), (1, 7)])
+    q2 = streaming_triangle_count(
+        stream_edges_from_files(spark, str(src_dir)), work, checkpoint_dir=ckpt
+    )
+    q2.awaitTermination()
+    assert [h["batch_id"] for h in q2.history] == [1]  # numbering continued
+    assert q2.history[-1]["delta"] == 2
+    assert q2.history[-1]["total"] == 3
+    got = {r.batch_id: r.n_triangles for r in spark.read.parquet(f"{work}/count").collect()}
+    assert got == {1: 3}
