@@ -62,7 +62,11 @@ class TableIO:
         if self.catalog:
             df.writeTo(f"{self.catalog}.{name}").createOrReplace()
             return -1
-        k = (self.latest_version(name) or 0) + 1
+        # next k from the RETAINED snapshot set, not the pointer: after a
+        # rollback the pointer is older than the newest snapshot, and a new
+        # PUT must not clobber a retained (immutable) version
+        existing = self.versions(name)
+        k = (existing[-1] if existing else 0) + 1
         path = os.path.join(self._dir(name), f"v={k}")
         df.write.mode("overwrite").parquet(path)
         tmp = self._pointer(name) + ".tmp"
@@ -95,6 +99,37 @@ class TableIO:
             self.spark.sql(f"DROP TABLE IF EXISTS {self.catalog}.{name}")
             return
         shutil.rmtree(self._dir(name), ignore_errors=True)
+
+    def snapshots(self, name: str) -> DataFrame:
+        """Snapshot history (``(version, is_current)``): the SDFS design has
+        no history at all — the table format's snapshot log is the strictly
+        stronger answer. Catalog branch: Iceberg's ``<table>.snapshots``
+        metadata table; fallback: one row per retained ``v=<k>`` directory."""
+        if self.catalog:
+            return self.spark.read.table(f"{self.catalog}.{name}.snapshots")
+        cur = self.latest_version(name)
+        rows = [(k, k == cur) for k in self.versions(name)]
+        return self.spark.createDataFrame(rows, "version long, is_current boolean")
+
+    def rollback(self, name: str, version: int) -> None:
+        """Roll the table's CURRENT pointer back to an older retained
+        snapshot — metadata-only on both branches (snapshots are immutable).
+        Catalog branch: Iceberg's ``rollback_to_snapshot`` procedure;
+        fallback: atomically rewrite the ``_latest`` pointer."""
+        if self.catalog:
+            parts = self.catalog.split(".", 1)
+            ns = parts[1] + "." if len(parts) > 1 else ""
+            self.spark.sql(
+                f"CALL {parts[0]}.system.rollback_to_snapshot"
+                f"('{ns}{name}', {int(version)})"
+            )
+            return
+        if version not in self.versions(name):
+            raise ValueError(f"table {name!r} has no snapshot v={version}")
+        tmp = self._pointer(name) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._pointer(name))
 
     # -- bucketed edge tables (at-rest co-location) ---------------------------
 

@@ -255,6 +255,28 @@ def ivf_train(
     return centroids
 
 
+def ivf_index(
+    df: DataFrame, centroids, id_col: str = "vec_id", vec_col: str = "embedding",
+    path: str | None = None,
+) -> DataFrame:
+    """Build the IVF inverted-list INDEX once: assign every vector to its
+    nearest centroid. This is the expensive k-dot-products-per-vector pass —
+    it must run once per corpus version, never per query (``ivf_topk`` takes
+    this table as its input and only filters lists).
+
+    With ``path``, the assignment is written ``partitionBy("cluster")`` and
+    read back: each inverted list is its own parquet partition, so a query's
+    ``cluster IN (nprobe lists)`` filter becomes PARTITION PRUNING at the
+    scan — the 100 TB shape, where a query touches nprobe/k_lists of the
+    corpus bytes on disk, not just post-scan. Without ``path`` the assigned
+    DataFrame is returned for the caller to persist/reuse in-session."""
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    if path is not None:
+        assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+        return df.sparkSession.read.parquet(path)
+    return assigned
+
+
 def ivf_topk(
     df: DataFrame, query: list[float], centroids, k: int = 10, nprobe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -262,7 +284,14 @@ def ivf_topk(
     """IVF search: rank centroids by cosine to the query, scan only the
     ``nprobe`` nearest inverted lists, exact-cosine top-k within them.
     Cost ≈ (nprobe/k_lists)·corpus instead of the full brute-force scan;
-    recall rises with nprobe (nprobe = #lists ≡ exact)."""
+    recall rises with nprobe (nprobe = #lists ≡ exact).
+
+    ``df`` SHOULD be a prebuilt index from ``ivf_index`` (it has a
+    ``cluster`` column, which is trusted as-is — zero assignment work per
+    query, and partition pruning if the index was written partitionBy). A
+    raw corpus without ``cluster`` is accepted for convenience but is
+    assigned ON EVERY CALL — a one-query cost k_lists× the brute-force
+    scan; never do that in a loop."""
     import numpy as np
 
     cents = np.asarray(centroids, dtype=np.float64)
@@ -270,7 +299,9 @@ def ivf_topk(
     q = np.asarray(query, dtype=np.float64)
     q = q / np.linalg.norm(q)
     probe = np.argsort(-(cents @ q), kind="stable")[:nprobe].tolist()
-    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    assigned = (
+        df if "cluster" in df.columns else ivf_assign(df, centroids, id_col, vec_col)
+    )
     bucket = assigned.filter(F.col("cluster").isin([int(p) for p in probe]))
     return cosine_topk(bucket, query, k, id_col, vec_col)
 

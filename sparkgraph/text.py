@@ -708,6 +708,54 @@ def boilerplate_strip(
     )
 
 
+def _neardup_bucket_update(
+    ids: list,
+    mat,
+    docs: list,
+    num_hashes: int,
+    threshold: float,
+    max_bucket_size: int,
+):
+    """One bucket's state transition for ``streaming_neardup_pairs``:
+    compare each arriving (doc_id, signature-vector) against the stored
+    members (vectorized) AND against docs accepted earlier in this batch,
+    emit pairs with agreement ≥ threshold, then append the batch's accepted
+    rows with ONE vstack — not one per doc, which copied the whole bucket
+    matrix per arrival — and O(1) set membership instead of a list scan.
+    Returns ``(ids, mat, a_list, b_list, est_list)``. Module-level so tests
+    can drive it directly (pure function of its arguments)."""
+    import numpy as np
+
+    seen = set(ids)
+    new_ids: list[int] = []
+    new_rows: list = []
+    out_a, out_b, out_e = [], [], []
+
+    def emit(other_id: int, doc_id: int, est: float) -> None:
+        a, b = sorted((int(other_id), int(doc_id)))
+        out_a.append(a)
+        out_b.append(b)
+        out_e.append(round(float(est), 6))
+
+    for doc_id, v in docs:
+        if len(ids):
+            est = (mat == v).sum(axis=1) / float(num_hashes)
+            for h in np.nonzero(est >= threshold)[0]:
+                emit(ids[h], doc_id, est[h])
+        for i, w in enumerate(new_rows):  # intra-batch pairs
+            est_i = int((w == v).sum()) / float(num_hashes)
+            if est_i >= threshold:
+                emit(new_ids[i], doc_id, est_i)
+        if len(ids) + len(new_rows) < max_bucket_size and doc_id not in seen:
+            seen.add(doc_id)
+            new_ids.append(int(doc_id))
+            new_rows.append(v)
+    if new_rows:
+        mat = np.vstack([mat, np.asarray(new_rows, dtype=np.int64)])
+        ids = list(ids) + new_ids
+    return ids, mat, out_a, out_b, out_e
+
+
 def streaming_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -796,22 +844,16 @@ def streaming_neardup_pairs(
             mat = np.frombuffer(blob, dtype=np.int64).reshape(-1, num_hashes)
         else:
             ids, mat = [], np.empty((0, num_hashes), dtype=np.int64)
-        out_a, out_b, out_e = [], [], []
+        docs = []
         for pdf in pdfs:
             pdf = pdf.sort_values("id")
-            for doc_id, sig_arr in zip(pdf["id"], pdf["sig"]):
-                v = np.asarray(sig_arr, dtype=np.int64)
-                if len(ids):
-                    est = (mat == v).sum(axis=1) / float(num_hashes)
-                    hit = np.nonzero(est >= threshold)[0]
-                    for h in hit:
-                        a, b = sorted((int(ids[h]), int(doc_id)))
-                        out_a.append(a)
-                        out_b.append(b)
-                        out_e.append(round(float(est[h]), 6))
-                if len(ids) < max_bucket_size and doc_id not in ids:
-                    ids.append(int(doc_id))
-                    mat = np.vstack([mat, v[None, :]])
+            docs.extend(
+                (int(d), np.asarray(s, dtype=np.int64))
+                for d, s in zip(pdf["id"], pdf["sig"])
+            )
+        ids, mat, out_a, out_b, out_e = _neardup_bucket_update(
+            ids, mat, docs, num_hashes, threshold, max_bucket_size
+        )
         state.update((ids, mat.tobytes()))
         yield pd.DataFrame({"a": out_a, "b": out_b, "est_jaccard": out_e})
 

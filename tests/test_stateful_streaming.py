@@ -145,3 +145,56 @@ def test_streaming_neardup_detects_cross_batch_pairs(spark, tmp_path):
     }
     est = {r.est_jaccard for r in out2.collect()}
     assert set(want) == {(1, 2)} and est == {want[(1, 2)]}
+
+
+def test_neardup_bucket_update_batched_append():
+    """The bucket state transition must (a) match a brute-force pairwise
+    oracle, and (b) append the whole batch with exactly ONE vstack — the
+    r3 version copied the full bucket matrix per arriving doc."""
+    import numpy as np
+
+    from sparkgraph import text as text_mod
+    from sparkgraph.text import _neardup_bucket_update
+
+    rng = np.random.RandomState(7)
+    nh = 32
+    stored = rng.randint(0, 50, size=(40, nh)).astype(np.int64)
+    stored_ids = list(range(1000, 1040))
+    batch = [(2000 + i, rng.randint(0, 50, size=nh).astype(np.int64)) for i in range(25)]
+    batch.append((1005, stored[5].copy()))        # replayed stored doc
+    batch.append((2100, batch[3][1].copy()))      # intra-batch near-dup
+    thr = 0.5
+
+    calls = {"n": 0}
+    real_vstack = np.vstack
+
+    def counting_vstack(*a, **k):
+        calls["n"] += 1
+        return real_vstack(*a, **k)
+
+    np.vstack = counting_vstack
+    try:
+        ids, mat, aa, bb, ee = _neardup_bucket_update(
+            list(stored_ids), stored, batch, nh, thr, 10_000
+        )
+    finally:
+        np.vstack = real_vstack
+    assert calls["n"] == 1  # one append for the whole batch
+
+    # brute-force oracle: replay sequentially against the growing member set
+    o_ids = list(stored_ids)
+    o_mat = [r for r in stored]
+    want = []
+    for d, v in batch:
+        for oid, w in zip(o_ids, o_mat):
+            est = float((w == v).sum()) / nh
+            if est >= thr:
+                a, b = sorted((oid, d))
+                want.append((a, b, round(est, 6)))
+        if d not in o_ids:
+            o_ids.append(d)
+            o_mat.append(v)
+    assert list(zip(aa, bb, ee)) == want
+    assert ids == o_ids
+    assert mat.shape == (len(o_ids), nh)
+    assert (mat == np.asarray(o_mat)).all()

@@ -95,3 +95,48 @@ def test_catalog_branch_never_touches_local_layout(io_and_log, tmp_path):
     io.save(_FakeDF(log), "edges")
     io.drop("edges")
     assert os.listdir(tmp_path) == []  # no v=/_latest fallback artifacts
+
+
+def test_catalog_snapshots_reads_metadata_table(io_and_log):
+    io, log = io_and_log
+    df = io.snapshots("edges")
+    assert df is mock.sentinel.table_df
+    assert log == [("read.table", "ice.db.edges.snapshots")]
+
+
+def test_catalog_rollback_calls_procedure(io_and_log):
+    io, log = io_and_log
+    io.rollback("edges", 42)
+    assert log == [
+        ("sql", "CALL ice.system.rollback_to_snapshot('db.edges', 42)")
+    ]
+
+
+def test_parquet_branch_snapshots_and_rollback(spark, tmp_path):
+    """Same contract, REAL fallback branch: snapshot listing shows every
+    retained version with the current one flagged; rollback is a metadata-
+    only pointer move; a PUT after rollback does not clobber the retained
+    newer snapshot."""
+    io = TableIO(spark, str(tmp_path))
+    for k in (1, 2, 3):
+        v = io.save(spark.createDataFrame([(k,)], "x long"), "t")
+        assert v == k
+    snaps = {r.version: r.is_current for r in io.snapshots("t").collect()}
+    assert snaps == {1: False, 2: False, 3: True}
+
+    io.rollback("t", 2)
+    assert io.latest_version("t") == 2
+    assert io.load("t").collect()[0].x == 2          # GET follows the pointer
+    assert io.load("t", version=3).collect()[0].x == 3  # v3 still retained
+    snaps = {r.version: r.is_current for r in io.snapshots("t").collect()}
+    assert snaps == {1: False, 2: True, 3: False}
+
+    v = io.save(spark.createDataFrame([(4,)], "x long"), "t")
+    assert v == 4  # next PUT allocates past the retained max, not pointer+1
+    assert sorted(snaps := io.versions("t")) == [1, 2, 3, 4]
+    assert io.load("t", version=3).collect()[0].x == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no snapshot"):
+        io.rollback("t", 99)

@@ -169,3 +169,35 @@ def test_ivf_train_is_deterministic(vectors):
 
     df, _ = vectors
     assert ivf_train(df, k=8, iters=2) == ivf_train(df, k=8, iters=2)
+
+
+def test_ivf_prebuilt_index_matches_on_the_fly(vectors, tmp_path):
+    """ivf_topk over a prebuilt ivf_index must equal the assign-per-query
+    path, and a partitionBy-written index must partition-PRUNE: the query
+    plan reads only the nprobe cluster partitions, not the corpus."""
+    from sparkgraph.similarity import ivf_index, ivf_topk, ivf_train
+
+    df, vecs = vectors
+    q = [float(x) for x in vecs[0]]
+    cents = ivf_train(df, k=8, iters=2)
+    fly = [(r.vec_id, r.cosine) for r in ivf_topk(df, q, cents, k=5, nprobe=3).collect()]
+
+    idx_mem = ivf_index(df, cents)
+    assert [(r.vec_id, r.cosine)
+            for r in ivf_topk(idx_mem, q, cents, k=5, nprobe=3).collect()] == fly
+
+    path = str(tmp_path / "ivf_index")
+    idx_disk = ivf_index(df, cents, path=path)
+    res = ivf_topk(idx_disk, q, cents, k=5, nprobe=3)
+    assert [(r.vec_id, r.cosine) for r in res.collect()] == fly
+    # partition pruning: the cluster IN (...) filter reaches the scan as a
+    # partition filter, so only nprobe of the 8 list directories are read
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cluster" in plan.replace("\n", " ") or (
+        "cluster#" in plan and "PartitionFilters" in plan
+    )
+    n_clusters_read = {
+        r.cluster for r in res.sparkSession.read.parquet(path).filter(
+            "cluster is not null").select("cluster").distinct().collect()
+    }
+    assert len(n_clusters_read) == 8  # index covers all lists on disk
