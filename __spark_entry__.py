@@ -2456,6 +2456,98 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_topk_pagerank(spark, "/root/testdata/sf0.001")
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repeated-bigram quality signal (text.repetition_stats)."""
+    from sparkgraph.text import repetition_stats
+
+    return repetition_stats(_read(spark, sf_dir, "documents"), n=2)
+
+
+_REPETITION_SQL = r"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+g AS MATERIALIZED (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+  FROM t, UNNEST(generate_series(1, GREATEST(len(toks) - 1, 0))) AS s(i)
+),
+pg AS MATERIALIZED (
+  SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2
+),
+a AS MATERIALIZED (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+         COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_count
+  FROM pg GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(a.n_grams, 0) AS n_grams,
+       COALESCE(a.n_distinct, 0) AS n_distinct,
+       COALESCE(a.top_count, 0) AS top_count,
+       ROUND(1.0 - COALESCE(a.n_distinct, 0) * 1.0
+             / GREATEST(COALESCE(a.n_grams, 0), 1), 6) AS dup_ratio
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN a USING (doc_id)"""
+
+
+def _q_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL stats (text.domain_stats) over deterministically
+    URL-injected documents (same injected-content pattern as the PII gate:
+    the synthetic corpus carries no URLs of its own)."""
+    from sparkgraph.text import domain_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" http://host"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" https://Mirror.ORG/x"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return domain_stats(injected)
+
+
+_DOMAINS_SQL = r"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id,
+         text || ' http://host' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+              || CASE WHEN doc_id % 3 = 0 THEN ' https://Mirror.ORG/x' ELSE '' END
+           AS text
+  FROM documents
+),
+u AS MATERIALIZED (
+  SELECT doc_id, lower(x) AS domain
+  FROM d, UNNEST(regexp_extract_all(
+    text, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+)', 1)) AS t(x)
+)
+SELECT domain, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_urls
+FROM u GROUP BY domain"""
+
+
+def _q_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark BFS distance labeling (closeness.landmark_distances) from
+    the BETW_PIVOTS smallest ids — the build-once approximate-distance
+    index; shares the multi-pivot BFS loop with closeness/eccentricity."""
+    from sparkgraph.algorithms.closeness import landmark_distances
+
+    g = Graph(bipartite_edges(spark, sf_dir))
+    return landmark_distances(g, k=BETW_PIVOTS).state
+
+
+def _landmarks_sql(k: int, depth: int) -> str:
+    """Raw first-seen (id, landmark, dist) table from the closeness
+    oracle's unrolled multi-pivot BFS CTEs."""
+    base = _closeness_sql(k, depth)
+    head, _, _ = base.rpartition("\nSELECT")
+    assert head, "unexpected _closeness_sql shape"
+    return head + f"\nSELECT id, pvt AS landmark, depth AS dist FROM s{depth}"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the driver's correctness gate runs the
     first 50 entries. ROTATION POLICY (SURVEY §2D): each round the head
@@ -2503,7 +2595,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "num_vertices_bipartite": _q_num_vertices,
         "top25_pagerank_bipartite": _q_topk_pagerank,
         # -- new in r04 ----------------------------------------------------
-        # (inserted here as implemented)
+        "repetition_documents": _q_repetition,
+        "domains_documents": _q_domains,
+        "landmarks_bipartite": _q_landmarks,
         # -- padding to the 50-cap: green r03, re-verified r04 -------------
         "langid_documents": _q_langid,
         "ngram_jaccard_documents": _q_jaccard,
@@ -2572,6 +2666,9 @@ def oracle_sql() -> dict[str, str]:
         "triangles_suppliers": _TRIANGLES_SQL,
         "scc_parts_affine": _SCC_SQL,
         "closeness_bipartite": _closeness_sql(BETW_PIVOTS, BETW_DEPTH),
+        "landmarks_bipartite": _landmarks_sql(BETW_PIVOTS, BETW_DEPTH),
+        "repetition_documents": _REPETITION_SQL,
+        "domains_documents": _DOMAINS_SQL,
         "eccentricity_bipartite": _eccentricity_sql(BETW_PIVOTS, BETW_DEPTH),
         "mis_bipartite": _mis_sql(MIS_ROUNDS),
         "node2vec_bipartite": _node2vec_sql(WALK_LEN, N2V_P, N2V_Q),

@@ -86,6 +86,13 @@ def main(argv: list[str] | None = None) -> int:
     common(kz)
     kz.add_argument("--alpha", type=float, default=0.005)
     kz.add_argument("--iterations", type=int, default=10)
+    lv = sub.add_parser("louvain")
+    common(lv)
+    lv.add_argument("--rounds", type=int, default=8, help="move rounds per level")
+    lv.add_argument("--levels", type=int, default=3, help="max coarsening levels")
+    lm = sub.add_parser("landmarks")
+    common(lm)
+    lm.add_argument("--k", type=int, default=8, help="number of landmarks")
     ing = sub.add_parser("ingest")
     ing.add_argument("--master", default=None)
     ing.add_argument("--input", required=True, help="sources table (parquet)")
@@ -212,6 +219,34 @@ def main(argv: list[str] | None = None) -> int:
                 trace.write.mode("overwrite").parquet(args.output)
             n = trace.count()
             print(json.dumps({"walks": n // (args.walk_len + 1), "trace_rows": n}))
+            return 0
+        elif args.cmd == "louvain":
+            from sparkgraph.algorithms.louvain import louvain
+            from sparkgraph.algorithms.structure import modularity
+
+            res = louvain(g, rounds_per_level=args.rounds, max_levels=args.levels)
+            if args.output:
+                res.state.write.mode("overwrite").parquet(args.output)
+            q = modularity(g, res.state).collect()[0][0]
+            n_comm = res.state.select("label").distinct().count()
+            print(json.dumps({
+                "supersteps": res.supersteps,
+                "converged": res.converged,
+                "n_communities": n_comm,
+                "modularity": round(float(q), 6),
+            }))
+            return 0
+        elif args.cmd == "landmarks":
+            from sparkgraph.algorithms import landmark_distances
+
+            res = landmark_distances(g, k=args.k)
+            if args.output:
+                res.state.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({
+                "supersteps": res.supersteps,
+                "landmarks": args.k,
+                "label_rows": res.state.count(),
+            }))
             return 0
         else:  # pragma: no cover
             raise AssertionError(args.cmd)

@@ -562,6 +562,93 @@ def pii_scrub(
     return df.select(F.col(id_col), *counts, F.sha2(clean, 256).alias("clean_sha"))
 
 
+# ---------------------------------------------------------------------------
+# repetition + web-domain signals (training-corpus hygiene, Gopher/C4-style)
+
+REPETITION_TOKEN_RE = r"[a-z0-9]+"
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style repeated-n-gram quality signal per document:
+    ``(id, n_grams, n_distinct, top_count, dup_ratio)`` over lowercase token
+    n-grams (dup_ratio = 1 − distinct/total — the fraction of n-gram slots
+    occupied by repeats; top_count = multiplicity of the most repeated
+    n-gram). High dup_ratio marks boilerplate-looping or degenerate docs
+    that poison training corpora (Rae et al. 2021 "Gopher" §A1.1 filters).
+
+    Scale shape: one tokenize + slide (in-array, no join), one explode into
+    a (doc, gram) groupBy (map-side combined), one per-doc aggregate —
+    shuffles are keyed by doc/gram only; no windows, no driver loops."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(REPETITION_TOKEN_RE), 0
+    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + d + 1) for d in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = per_gram.groupBy("id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.coalesce("top_count", F.lit(0)).alias("top_count"),
+            F.round(
+                F.lit(1.0)
+                - F.coalesce("n_distinct", F.lit(0))
+                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+URL_DOMAIN_RE = r"https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+)"
+
+
+def domain_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-domain corpus statistics ``(domain, n_docs, n_urls)`` from URLs
+    embedded in document text — the first stage of web-pipeline domain
+    filtering/weighting (blocklists, per-domain caps, C4's source mixing).
+    Lowercased hostnames; one regexp extraction + one domain-keyed groupBy
+    (map-side combined) — domain cardinality ≪ corpus, so the shuffle is
+    tiny; no windows."""
+    urls = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(URL_DOMAIN_RE), 1)
+            ).alias("domain_raw"),
+        )
+        .select("id", F.lower(F.col("domain_raw")).alias("domain"))
+    )
+    return urls.groupBy("domain").agg(
+        F.countDistinct("id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_urls"),
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     id_col: str = "doc_id",

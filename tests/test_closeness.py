@@ -81,3 +81,47 @@ def test_unnormalized_scale(spark):
     want = _harmonic_oracle(GRAPH_MAIN, nodes, normalize=False)
     for v in want:
         assert math.isclose(got[v], want[v], rel_tol=1e-9), v
+
+
+def test_landmark_distances_match_bfs(spark):
+    from sparkgraph.algorithms.closeness import landmark_distances
+
+    nodes = sorted({v for e in GRAPH_MAIN for v in e})
+    lms = nodes[:4]
+    g = Graph(spark.createDataFrame(GRAPH_MAIN, "src long, dst long"))
+    got = {
+        (r.id, r.landmark): r.dist
+        for r in landmark_distances(g, landmarks=lms).state.collect()
+    }
+    want = {}
+    for lm in lms:
+        for v, d in bfs_oracle(GRAPH_MAIN, lm).items():
+            if d < INF:
+                want[(v, lm)] = d
+    assert got == want
+
+
+def test_landmark_estimate_upper_bounds_true_distance(spark):
+    from sparkgraph.algorithms.closeness import (
+        landmark_distance_estimate,
+        landmark_distances,
+    )
+
+    nodes = sorted({v for e in GRAPH_MAIN for v in e})
+    g = Graph(spark.createDataFrame(GRAPH_MAIN, "src long, dst long"))
+    labels = landmark_distances(g, k=6).state
+    pairs = [(u, v) for u in nodes[:6] for v in nodes[:6] if u != v]
+    pdf = spark.createDataFrame(pairs, "u long, v long")
+    est = {
+        (r.u, r.v): r.dist_est
+        for r in landmark_distance_estimate(labels, pdf).collect()
+    }
+    for (u, v), e in est.items():
+        true = bfs_oracle(GRAPH_MAIN, u).get(v, INF)
+        assert e >= true, (u, v)  # triangle-inequality upper bound
+        assert e < INF
+    # a pair with a landmark ON the shortest path is exact: landmark = u
+    lms = nodes[:6]
+    for (u, v), e in est.items():
+        if u in lms:
+            assert e == bfs_oracle(GRAPH_MAIN, u)[v], (u, v)

@@ -201,3 +201,53 @@ def test_ivf_prebuilt_index_matches_on_the_fly(vectors, tmp_path):
             "cluster is not null").select("cluster").distinct().collect()
     }
     assert len(n_clusters_read) == 8  # index covers all lists on disk
+
+
+def test_repetition_stats_matches_python(spark):
+    from collections import Counter
+    import re
+
+    from sparkgraph.text import repetition_stats
+
+    docs = [
+        (0, "the cat sat on the cat sat again"),
+        (1, "a b a b a b a b"),
+        (2, "all distinct words here now"),
+        (3, "one"),            # fewer tokens than n -> all zeros
+        (4, ""),               # empty
+        (5, "x y x y? X Y!"),  # case/punct normalization
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_distinct, r.top_count, r.dup_ratio)
+        for r in repetition_stats(df, n=2).collect()
+    }
+    for did, text in docs:
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        c = Counter(grams)
+        total, dist = len(grams), len(c)
+        top = max(c.values()) if c else 0
+        ratio = round(1.0 - dist / max(total, 1), 6)
+        assert got[did] == (total, dist, top, ratio), did
+    assert got[1][3] > 0.7   # the degenerate doc is flagged
+    assert got[2][3] == 0.0  # all-distinct doc is clean
+
+
+def test_domain_stats_extracts_and_aggregates(spark):
+    from sparkgraph.text import domain_stats
+
+    docs = [
+        (0, "see http://example.com/a and https://Example.COM/b plus http://other.org"),
+        (1, "nothing here"),
+        (2, "again https://example.com/x and http://sub.other.org/y"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.domain: (r.n_docs, r.n_urls) for r in domain_stats(df).collect()
+    }
+    assert got == {
+        "example.com": (2, 3),   # case-folded, counted per doc and per url
+        "other.org": (1, 1),
+        "sub.other.org": (1, 1),
+    }
