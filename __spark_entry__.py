@@ -2529,6 +2529,36 @@ SELECT domain, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_urls
 FROM u GROUP BY domain"""
 
 
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM scoring (text.unigram_logprob)."""
+    from sparkgraph.text import unigram_logprob
+
+    return unigram_logprob(_read(spark, sf_dir, "documents"))
+
+
+_UNIGRAM_SQL = r"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, x AS term
+  FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(x)
+),
+c AS MATERIALIZED (SELECT term, COUNT(*) AS c FROM tk GROUP BY 1),
+tot AS MATERIALIZED (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_total, COUNT(*) AS n_vocab FROM c
+),
+s AS (
+  SELECT tk.doc_id, -ln((c.c + 1) * 1.0 / (tot.n_total + tot.n_vocab)) AS nlp
+  FROM tk JOIN c USING (term) CROSS JOIN tot
+),
+a AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, ROUND(AVG(nlp), 6) AS avg_neg_logp
+  FROM s GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.avg_neg_logp, 0.0) AS avg_neg_logp
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN a USING (doc_id)"""
+
+
 def _q_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark BFS distance labeling (closeness.landmark_distances) from
     the BETW_PIVOTS smallest ids — the build-once approximate-distance
@@ -2598,6 +2628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_documents": _q_repetition,
         "domains_documents": _q_domains,
         "landmarks_bipartite": _q_landmarks,
+        "unigram_logprob_documents": _q_unigram_logprob,
         # -- padding to the 50-cap: green r03, re-verified r04 -------------
         "langid_documents": _q_langid,
         "ngram_jaccard_documents": _q_jaccard,
@@ -2669,6 +2700,7 @@ def oracle_sql() -> dict[str, str]:
         "landmarks_bipartite": _landmarks_sql(BETW_PIVOTS, BETW_DEPTH),
         "repetition_documents": _REPETITION_SQL,
         "domains_documents": _DOMAINS_SQL,
+        "unigram_logprob_documents": _UNIGRAM_SQL,
         "eccentricity_bipartite": _eccentricity_sql(BETW_PIVOTS, BETW_DEPTH),
         "mis_bipartite": _mis_sql(MIS_ROUNDS),
         "node2vec_bipartite": _node2vec_sql(WALK_LEN, N2V_P, N2V_Q),

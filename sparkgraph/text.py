@@ -622,6 +622,53 @@ def repetition_stats(
     )
 
 
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-unigram-LM document scoring ``(id, n_tokens, avg_neg_logp)``:
+    train unigram probabilities from the corpus itself (add-one smoothed
+    over the observed vocabulary), then score each document by its mean
+    token negative log-probability. Low = stereotypical corpus text; high =
+    rare-token-heavy outliers (gibberish, foreign-language leaks, encoding
+    damage) — the cheap stand-in for model-perplexity filtering (CCNet-style
+    quality buckets) that needs no external LM.
+
+    Scale shape: one tokenize feeding (a) the vocabulary-sized unigram count
+    table — broadcast back — and (b) the per-doc score aggregation; the
+    corpus-total token count is one scalar agg. Same cache discipline as
+    tfidf_top_terms (the persist is read by the returned lazy plan)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(REPETITION_TOKEN_RE), 0
+            )
+        ).alias("term"),
+    ).persist()
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("n_vocab")
+    ).collect()[0]
+    n_total, n_vocab = int(totals["n_total"] or 0), int(totals["n_vocab"] or 0)
+    denom = float(n_total + n_vocab)  # add-one smoothing over seen vocab
+    scored = toks.join(F.broadcast(counts), "term").select(
+        "id", (-F.log((F.col("c") + 1) / F.lit(denom))).alias("nlp")
+    )
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("nlp"), 6).alias("avg_neg_logp"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id")).distinct()
+        .join(agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("avg_neg_logp", F.lit(0.0)).alias("avg_neg_logp"),
+        )
+    )
+
+
 URL_DOMAIN_RE = r"https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+)"
 
 

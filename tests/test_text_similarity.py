@@ -251,3 +251,34 @@ def test_domain_stats_extracts_and_aggregates(spark):
         "other.org": (1, 1),
         "sub.other.org": (1, 1),
     }
+
+
+def test_unigram_logprob_matches_python(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from sparkgraph.text import unigram_logprob
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the the the the"),             # stereotypical -> low score
+        (2, "zyzzyva qoph xylyl"),          # rare tokens -> high score
+        (3, ""),                            # empty -> zeros
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_neg_logp)
+        for r in unigram_logprob(df).collect()
+    }
+    toks = {d: re.findall(r"[a-z0-9]+", t.lower()) for d, t in docs}
+    corpus = Counter(tok for ts in toks.values() for tok in ts)
+    n_total, n_vocab = sum(corpus.values()), len(corpus)
+    for d, ts in toks.items():
+        if not ts:
+            assert got[d] == (0, 0.0)
+            continue
+        nlp = [-math.log((corpus[t] + 1) / (n_total + n_vocab)) for t in ts]
+        assert got[d][0] == len(ts)
+        assert math.isclose(got[d][1], round(sum(nlp) / len(nlp), 6), abs_tol=2e-6), d
+    assert got[1][1] < got[0][1] < got[2][1]  # rare-token docs score higher
