@@ -114,3 +114,36 @@ def test_components_label_is_min_id(spark):
         assert c <= v
     assert got[25] == 1 and got[16] == 12 and got[10] == 9
     g.unpersist()
+
+
+def test_unconverged_ceiling_warns_and_flags(spark, caplog):
+    """A fixpoint loop cut off by max_iter must report converged=False and
+    emit the convergence-guard warning (VERDICT r3 #10); partial distances
+    must still be BFS-prefix-correct."""
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="sparkgraph"):
+        res = sssp(Graph(edges_from_pairs(spark, GRAPH_CHAIN)), source=min(
+            v for e in GRAPH_CHAIN for v in e
+        ), max_iter=1)
+    assert not res.converged
+    assert res.supersteps == 1
+    assert any("max_iter ceiling" in r.message for r in caplog.records)
+    # depth-1 prefix is exact; deeper vertices still at +inf
+    d = {r.id: r.dist for r in res.state.collect()}
+    src = min(v for e in GRAPH_CHAIN for v in e)
+    want = bfs_oracle(GRAPH_CHAIN, src)
+    for v, dist in d.items():
+        if want.get(v, math.inf) <= 1:
+            assert dist == want[v], v
+        else:
+            assert math.isinf(dist), v
+
+    # the same ceiling on CC: converged False + warning
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="sparkgraph"):
+        res2 = connected_components(
+            Graph(edges_from_pairs(spark, GRAPH_CHAIN)), max_iter=1
+        )
+    assert not res2.converged
+    assert any("max_iter ceiling" in r.message for r in caplog.records)
