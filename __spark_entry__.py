@@ -2559,6 +2559,93 @@ SELECT d.doc_id,
 FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN a USING (doc_id)"""
 
 
+COLOR_MOD = 500
+COLOR_MAPS = [(17, 129), (389, 57), (233, 311)]
+COLORING_UNROLL = 18  # ≥ measured JP rounds (16 at sf0.01, 7 at sf0.001)
+
+
+def color_parts_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-degree (≤6 after symmetrize) affine graph over part keys —
+    the coloring gate graph. The bipartite graph is unusable here: its hubs
+    give Jones-Plassmann ~139-round priority chains (a hub colors only
+    after most of its neighborhood), far past any SQL unroll; this graph
+    converges in 16 rounds at sf0.01."""
+    l = _read(spark, sf_dir, "part").filter(F.col("p_partkey") < COLOR_MOD)
+    parts = [
+        l.select(
+            F.col("p_partkey").alias("src"),
+            ((F.col("p_partkey") * a + b) % COLOR_MOD).alias("dst"),
+        )
+        for a, b in COLOR_MAPS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones-Plassmann greedy coloring (algorithms.coloring) to full
+    convergence on the bounded-degree affine parts graph."""
+    from sparkgraph.algorithms.coloring import greedy_coloring
+
+    return greedy_coloring(Graph(color_parts_edges(spark, sf_dir)), mixer="affine").state
+
+
+def _coloring_sql(rounds: int) -> str:
+    """Unrolled Jones-Plassmann twin: fixed affine (p, id) priority, per
+    round the live local-minima color themselves with the mex of already-
+    colored neighbors (candidate colors 0..deg anti-joined against the
+    neighbor color set). Rounds past convergence are empty-CTE no-ops."""
+    maps = " UNION ALL ".join(
+        f"SELECT p_partkey AS src, (p_partkey * {a} + {b}) % {COLOR_MOD} AS dst "
+        f"FROM part WHERE p_partkey < {COLOR_MOD}"
+        for a, b in COLOR_MAPS
+    )
+    ctes = [
+        f"base AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({maps}) WHERE src <> dst)",
+        "und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM base)",
+        "csym AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und)",
+        "cdeg AS MATERIALIZED (SELECT u AS id, COUNT(*) AS deg FROM csym GROUP BY 1)",
+        "cpri AS MATERIALIZED (SELECT id, (id * 2654435761) % 1048576 AS p FROM cdeg)",
+        "live0 AS MATERIALIZED (SELECT id FROM cdeg)",
+        "col0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS INTEGER) AS color WHERE 1 = 0)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""w{r} AS MATERIALIZED (
+  SELECT l.id FROM live{r} l JOIN cpri pu ON pu.id = l.id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM csym e
+    JOIN live{r} lv ON lv.id = e.v
+    JOIN cpri pv ON pv.id = e.v
+    WHERE e.u = l.id AND (pv.p < pu.p OR (pv.p = pu.p AND e.v < l.id))
+  )
+),
+nc{r} AS MATERIALIZED (
+  SELECT DISTINCT e.u AS id, c.color
+  FROM csym e JOIN w{r} w ON w.id = e.u JOIN col{r} c ON c.id = e.v
+),
+mx{r} AS MATERIALIZED (
+  SELECT t.id, CAST(MIN(t.g) AS INTEGER) AS color FROM (
+    SELECT w.id, s.g FROM w{r} w JOIN cdeg d ON d.id = w.id,
+      UNNEST(generate_series(0, d.deg)) s(g)
+  ) t
+  WHERE NOT EXISTS (SELECT 1 FROM nc{r} n WHERE n.id = t.id AND n.color = t.g)
+  GROUP BY t.id
+),
+col{r+1} AS MATERIALIZED (SELECT * FROM col{r} UNION ALL SELECT * FROM mx{r}),
+live{r+1} AS MATERIALIZED (
+  SELECT l.id FROM live{r} l
+  WHERE NOT EXISTS (SELECT 1 FROM w{r} w WHERE w.id = l.id)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, color FROM col{rounds}"
+    )
+
+
 def _q_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark BFS distance labeling (closeness.landmark_distances) from
     the BETW_PIVOTS smallest ids — the build-once approximate-distance
@@ -2629,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domains_documents": _q_domains,
         "landmarks_bipartite": _q_landmarks,
         "unigram_logprob_documents": _q_unigram_logprob,
+        "coloring_parts_affine": _q_coloring,
         # -- padding to the 50-cap: green r03, re-verified r04 -------------
         "langid_documents": _q_langid,
         "ngram_jaccard_documents": _q_jaccard,
@@ -2701,6 +2789,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_documents": _REPETITION_SQL,
         "domains_documents": _DOMAINS_SQL,
         "unigram_logprob_documents": _UNIGRAM_SQL,
+        "coloring_parts_affine": _coloring_sql(COLORING_UNROLL),
         "eccentricity_bipartite": _eccentricity_sql(BETW_PIVOTS, BETW_DEPTH),
         "mis_bipartite": _mis_sql(MIS_ROUNDS),
         "node2vec_bipartite": _node2vec_sql(WALK_LEN, N2V_P, N2V_Q),

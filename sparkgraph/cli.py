@@ -93,6 +93,9 @@ def main(argv: list[str] | None = None) -> int:
     lm = sub.add_parser("landmarks")
     common(lm)
     lm.add_argument("--k", type=int, default=8, help="number of landmarks")
+    co = sub.add_parser("coloring")
+    common(co)
+    co.add_argument("--mixer", choices=["xxhash", "affine"], default="xxhash")
     ing = sub.add_parser("ingest")
     ing.add_argument("--master", default=None)
     ing.add_argument("--input", required=True, help="sources table (parquet)")
@@ -234,6 +237,19 @@ def main(argv: list[str] | None = None) -> int:
                 "converged": res.converged,
                 "n_communities": n_comm,
                 "modularity": round(float(q), 6),
+            }))
+            return 0
+        elif args.cmd == "coloring":
+            from sparkgraph.algorithms.coloring import greedy_coloring
+
+            res = greedy_coloring(g, mixer=args.mixer)
+            if args.output:
+                res.state.write.mode("overwrite").parquet(args.output)
+            n_colors = res.state.select("color").distinct().count()
+            print(json.dumps({
+                "supersteps": res.supersteps,
+                "converged": res.converged,
+                "n_colors": n_colors,
             }))
             return 0
         elif args.cmd == "landmarks":

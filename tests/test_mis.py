@@ -81,3 +81,85 @@ def test_xxhash_mis_valid_and_partitioning_independent(spark):
         outs.append(got)
         g.unpersist()
     assert outs[0] == outs[1]
+
+
+def _coloring_oracle(pairs, mixer="affine"):
+    """Pure-python Jones-Plassmann replay with the engine's fixed
+    (mix(id), id) priority and mex color pick."""
+    from sparkgraph.algorithms.mis import MIS_AFFINE_MOD, MIS_AFFINE_V
+
+    sym = {}
+    for s, d in pairs:
+        if s == d:
+            continue
+        sym.setdefault(s, set()).add(d)
+        sym.setdefault(d, set()).add(s)
+
+    def key(v):
+        return ((v * MIS_AFFINE_V) % MIS_AFFINE_MOD, v)
+
+    color, live = {}, set(sym)
+    rounds = 0
+    while live:
+        rounds += 1
+        winners = [
+            v for v in live
+            if all(key(v) < key(u) for u in sym[v] if u in live)
+        ]
+        for v in winners:
+            used = {color[u] for u in sym[v] if u in color}
+            c = 0
+            while c in used:
+                c += 1
+            color[v] = c
+        live -= set(winners)
+    return color, rounds
+
+
+def test_coloring_matches_python_replay_and_is_proper(spark):
+    from sparkgraph.algorithms.coloring import greedy_coloring
+    from sparkgraph.graph import Graph
+    from sparkgraph.io.edgelist import edges_from_pairs
+
+    from tests.fixtures import GRAPH_MAIN
+
+    want, _ = _coloring_oracle(GRAPH_MAIN)
+    for parts in (2, 5):
+        g = Graph(edges_from_pairs(spark, GRAPH_MAIN), num_partitions=parts)
+        res = greedy_coloring(g, mixer="affine")
+        assert res.converged
+        got = {r.id: r.color for r in res.state.collect()}
+        assert got == want, parts  # deterministic, partitioning-independent
+        g.unpersist()
+    # proper: no edge joins equal colors
+    for s, d in GRAPH_MAIN:
+        if s != d:
+            assert want[s] != want[d], (s, d)
+
+
+def test_coloring_xxhash_mixer_proper_on_random_graph(spark):
+    import random
+
+    from sparkgraph.algorithms.coloring import greedy_coloring
+    from sparkgraph.graph import Graph
+    from sparkgraph.io.edgelist import edges_from_pairs
+
+    rng = random.Random(5)
+    pairs = list({(rng.randrange(60), rng.randrange(60)) for _ in range(240)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    g = Graph(edges_from_pairs(spark, pairs), num_partitions=4)
+    res = greedy_coloring(g)  # production xxhash mixer
+    assert res.converged
+    got = {r.id: r.color for r in res.state.collect()}
+    nbr_max = {}
+    for a, b in pairs:
+        assert got[a] != got[b], (a, b)
+        nbr_max[a] = max(nbr_max.get(a, 0) + 1, 1)
+    # greedy bound: every color <= degree (mex over <= deg neighbors)
+    deg = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for v, c in got.items():
+        assert c <= deg[v], v
+    g.unpersist()

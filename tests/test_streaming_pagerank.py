@@ -168,3 +168,61 @@ def test_streaming_triangle_count_checkpoint_recovery(spark, tmp_path):
     assert q2.history[-1]["total"] == 3
     got = {r.batch_id: r.n_triangles for r in spark.read.parquet(f"{work}/count").collect()}
     assert got == {1: 3}
+
+
+def test_streaming_pr_cc_checkpoint_recovery_warm_start(spark, tmp_path):
+    """Recovery twin of the triangle test for PR + CC: a query restarted
+    from checkpoint (empty driver history, batch numbering continuing) must
+    STILL warm-start from the published on-disk state — r3 keyed the warm
+    start on the in-memory history list, so recovered queries cold-started."""
+    from sparkgraph.algorithms import connected_components
+    from sparkgraph.streaming import streaming_connected_components
+
+    src_dir = tmp_path / "rec_in"
+    src_dir.mkdir()
+    work_pr, ck_pr = str(tmp_path / "prw"), str(tmp_path / "prc")
+    work_cc, ck_cc = str(tmp_path / "ccw"), str(tmp_path / "ccc")
+
+    _write_edges(src_dir / "p1.txt", BATCH1)
+    q = streaming_pagerank(
+        stream_edges_from_files(spark, str(src_dir)), work_pr, checkpoint_dir=ck_pr
+    )
+    q.awaitTermination()
+    q = streaming_connected_components(
+        stream_edges_from_files(spark, str(src_dir)), work_cc, checkpoint_dir=ck_cc
+    )
+    q.awaitTermination()
+
+    _write_edges(src_dir / "p2.txt", BATCH2)
+    q2 = streaming_pagerank(
+        stream_edges_from_files(spark, str(src_dir)), work_pr, checkpoint_dir=ck_pr
+    )
+    q2.awaitTermination()
+    assert [h["batch_id"] for h in q2.history] == [1]  # recovery, not re-bin
+    # warm start across the restart: a small perturbation converges in a
+    # handful of supersteps, far under a cold run's dozens
+    assert q2.history[0]["supersteps"] <= 12
+
+    q3 = streaming_connected_components(
+        stream_edges_from_files(spark, str(src_dir)), work_cc, checkpoint_dir=ck_cc
+    )
+    q3.awaitTermination()
+    assert [h["batch_id"] for h in q3.history] == [1]
+
+    # published results equal the batch recompute on the accumulated edges
+    import math as _math
+
+    acc = Graph(spark.read.parquet(f"{work_pr}/edges"), num_partitions=4)
+    want = {
+        r.id: r.value
+        for r in pagerank(acc, mode="convergence", tol=1e-6).state.collect()
+    }
+    got = {r.id: r.value for r in spark.read.parquet(f"{work_pr}/scores").collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert _math.isclose(got[v], want[v], abs_tol=2e-6), v
+
+    acc_cc = Graph(spark.read.parquet(f"{work_cc}/edges"), num_partitions=4)
+    want_cc = {r.id: r.component for r in connected_components(acc_cc).state.collect()}
+    got_cc = {r.id: r.component for r in spark.read.parquet(f"{work_cc}/labels").collect()}
+    assert got_cc == want_cc
