@@ -2456,6 +2456,46 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_topk_pagerank(spark, "/root/testdata/sf0.001")
 
 
+IVF_BATCH_QIDS = (0, 1, 2)
+# Random embeddings are the adversarial case for IVF recall: queries 1/2
+# have far-tail true neighbors (cosine ~0.29 — essentially noise rank) that
+# no reasonable nprobe covers, so the batch gate pins the HEAD of the
+# ranking (top-5, covered at nprobe=8) — the regime IVF is built for.
+IVF_BATCH_NPROBE = 8
+IVF_BATCH_K = 5
+
+
+def _q_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN over the prebuilt IVF index (one job, many queries) gated
+    against the per-query brute-force oracle — identical whenever the
+    probed lists cover each query's true top-k (verified at sf0.001/0.01,
+    same recall argument as ann_ivf_topk)."""
+    from sparkgraph.similarity import ivf_index, ivf_topk_batch, ivf_train
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, k=IVF_LISTS, iters=3)
+    index = ivf_index(emb, cents)
+    queries = emb.filter(F.col("vec_id").isin(list(IVF_BATCH_QIDS))).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk_batch(index, queries, cents, k=IVF_BATCH_K, nprobe=IVF_BATCH_NPROBE)
+
+
+_IVF_BATCH_SQL = f"""
+WITH s AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings e, embeddings q
+  WHERE q.vec_id IN {IVF_BATCH_QIDS}
+)
+SELECT query_id, vec_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM s
+) WHERE rn <= {IVF_BATCH_K}"""
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repeated-bigram quality signal (text.repetition_stats)."""
     from sparkgraph.text import repetition_stats
@@ -2717,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmarks_bipartite": _q_landmarks,
         "unigram_logprob_documents": _q_unigram_logprob,
         "coloring_parts_affine": _q_coloring,
+        "ann_ivf_batch": _q_ann_ivf_batch,
         # -- padding to the 50-cap: green r03, re-verified r04 -------------
         "langid_documents": _q_langid,
         "ngram_jaccard_documents": _q_jaccard,
@@ -2790,6 +2831,7 @@ def oracle_sql() -> dict[str, str]:
         "domains_documents": _DOMAINS_SQL,
         "unigram_logprob_documents": _UNIGRAM_SQL,
         "coloring_parts_affine": _coloring_sql(COLORING_UNROLL),
+        "ann_ivf_batch": _IVF_BATCH_SQL,
         "eccentricity_bipartite": _eccentricity_sql(BETW_PIVOTS, BETW_DEPTH),
         "mis_bipartite": _mis_sql(MIS_ROUNDS),
         "node2vec_bipartite": _node2vec_sql(WALK_LEN, N2V_P, N2V_Q),

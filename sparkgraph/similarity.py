@@ -306,6 +306,83 @@ def ivf_topk(
     return cosine_topk(bucket, query, k, id_col, vec_col)
 
 
+def ivf_probe_lists(
+    queries: DataFrame, centroids, query_id_col: str = "query_id",
+    vec_col: str = "embedding", nprobe: int = 4,
+) -> DataFrame:
+    """(query_id, cluster) probe pairs: rank centroids per query with one
+    Arrow matmul per batch — k_lists × dim floats broadcast by closure,
+    nprobe rows out per query."""
+    import numpy as np
+    import pandas as pd
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+            order = np.argsort(-(v @ cents.T), axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.repeat(
+                        pdf[query_id_col].to_numpy(), order.shape[1]
+                    ),
+                    "cluster": order.ravel().astype("int32"),
+                }
+            )
+
+    return queries.select(query_id_col, vec_col).mapInPandas(
+        probe, f"{query_id_col} long, cluster int"
+    )
+
+
+def ivf_topk_batch(
+    index: DataFrame, queries: DataFrame, centroids, k: int = 10,
+    nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batch ANN: answer MANY queries in ONE job over a PREBUILT
+    ``ivf_index`` table — the realistic serving shape (ANN queries arrive in
+    batches; per-query jobs waste a scan each). Returns
+    ``(query_id, vec_id, cosine, rank)`` with rank ≤ k per query.
+
+    Plan: per-query centroid ranking (one Arrow matmul) → (query, cluster)
+    probe pairs → equi-join against the cluster-keyed index (each query
+    touches only its nprobe inverted lists; Σ candidate rows ≈
+    n_queries·nprobe/k_lists·corpus) → JVM-side exact cosine → per-query
+    top-k window over candidates only (never the corpus)."""
+    from pyspark.sql import Window
+
+    assigned = (
+        index
+        if "cluster" in index.columns
+        else ivf_assign(index, centroids, id_col, vec_col)
+    )
+    probes = ivf_probe_lists(queries, centroids, query_id_col, vec_col, nprobe)
+    qv = queries.select(
+        query_id_col,
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    cand = probes.join(assigned, "cluster").select(
+        query_id_col,
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    cos = _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))
+    scored = cand.join(F.broadcast(qv), query_id_col).select(
+        query_id_col, id_col, F.round(cos, 6).alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_bucketed_topk(
     df: DataFrame, query: list[float], k: int = 10, n_planes: int = 12,
     seed: int = 7, id_col: str = "vec_id", vec_col: str = "embedding",

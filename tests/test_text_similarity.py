@@ -282,3 +282,29 @@ def test_unigram_logprob_matches_python(spark):
         assert got[d][0] == len(ts)
         assert math.isclose(got[d][1], round(sum(nlp) / len(nlp), 6), abs_tol=2e-6), d
     assert got[1][1] < got[0][1] < got[2][1]  # rare-token docs score higher
+
+
+def test_ivf_topk_batch_matches_per_query(vectors):
+    """Batch ANN over the prebuilt index must equal k independent
+    single-query ivf_topk calls, per query."""
+    from pyspark.sql import functions as F
+
+    from sparkgraph.similarity import ivf_index, ivf_topk, ivf_topk_batch, ivf_train
+
+    df, vecs = vectors
+    cents = ivf_train(df, k=8, iters=2)
+    index = ivf_index(df, cents)
+    qids = [0, 7, 42]
+    queries = df.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {}
+    for r in ivf_topk_batch(index, queries, cents, k=5, nprobe=3).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cosine))
+    for qid in qids:
+        q = [float(x) for x in vecs[qid]]
+        want = [
+            (i + 1, r.vec_id, r.cosine)
+            for i, r in enumerate(ivf_topk(index, q, cents, k=5, nprobe=3).collect())
+        ]
+        assert sorted(got[qid]) == want, qid
