@@ -4,10 +4,11 @@ Media are opaque ``binary`` columns with a typed metadata struct — the
 schema/partitioning/UDF plumbing is real and tested. Codecs sit behind
 ``DecodeBackend``: ``BmpDecodeBackend`` (uncompressed 24-bit BMP),
 ``PngDecodeBackend`` (DEFLATE-compressed 8-bit RGB/RGBA PNG, all five
-scanline filters, stdlib zlib), and ``WavDecodeBackend`` (16-bit PCM
-RIFF/WAVE) are REAL pure-numpy/stdlib decoders — actual pixels and
-samples, tested round-trip; PIL/libav slot in at deployment for the
-remaining compressed formats (JPEG/MP3/video). ``FakeDecodeBackend`` remains the
+scanline filters, stdlib zlib), ``WavDecodeBackend`` (16-bit PCM
+RIFF/WAVE), and ``MulawWavDecodeBackend`` (G.711 μ-law companded audio)
+are REAL pure-numpy/stdlib decoders — actual pixels and samples, tested
+round-trip; PIL/libav slot in at deployment for the remaining compressed
+formats (JPEG/MP3/video). ``FakeDecodeBackend`` remains the
 deterministic stand-in (bytes → hashed pseudo pixels/samples) so every
 downstream stage — batching, feature extraction, resize geometry, frame
 sampling — is exercised end-to-end for formats without an in-tree codec.
@@ -271,6 +272,72 @@ class WavDecodeBackend(DecodeBackend):
             samples = samples[: len(samples) - len(samples) % n_channels]
             samples = samples.reshape(-1, n_channels).mean(axis=1)
         return samples
+
+
+class MulawWavDecodeBackend(DecodeBackend):
+    """REAL companded-audio decode, zero external deps: G.711 μ-law
+    RIFF/WAVE (format tag 7, 8-bit samples — the classic telephony
+    compression, 2:1 vs 16-bit PCM). Expansion is one vectorized table-free
+    numpy expression (ITU-T G.711: sign/exponent/mantissa unpack). Output
+    matches WavDecodeBackend: float32 mono in [-1, 1)."""
+
+    def decode_audio(self, data: bytes, sample_rate: int) -> np.ndarray:
+        if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        pos, n_channels, bits, fmt, body = 12, None, None, None, None
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            sz = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            if cid == b"fmt ":
+                fmt = int.from_bytes(data[pos + 8 : pos + 10], "little")
+                n_channels = int.from_bytes(data[pos + 10 : pos + 12], "little")
+                bits = int.from_bytes(data[pos + 22 : pos + 24], "little")
+            elif cid == b"data":
+                body = data[pos + 8 : pos + 8 + sz]
+            pos += 8 + sz + (sz & 1)
+        if body is None or n_channels is None:
+            raise ValueError("missing fmt/data chunk")
+        if fmt != 7 or bits != 8:
+            raise ValueError(f"only 8-bit mu-law supported (fmt={fmt}, bits={bits})")
+        u = ~np.frombuffer(body, dtype=np.uint8) & 0xFF  # stored complemented
+        sign = np.where(u & 0x80, -1.0, 1.0)
+        exponent = (u >> 4) & 0x07
+        mantissa = (u & 0x0F).astype(np.int32)
+        # G.711 expansion: ((2*m + 33) << e) - 33, in 8159-max units
+        magnitude = (((2 * mantissa + 33) << exponent) - 33).astype(np.float32)
+        samples = (sign * magnitude / 8159.0).astype(np.float32)
+        if n_channels > 1:
+            samples = samples[: len(samples) - len(samples) % n_channels]
+            samples = samples.reshape(-1, n_channels).mean(axis=1)
+        return samples
+
+
+def encode_mulaw_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Inverse of MulawWavDecodeBackend for tests: float samples in [-1, 1)
+    → mono 8-bit G.711 μ-law RIFF/WAVE (vectorized compression)."""
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    mag = np.minimum((np.abs(x) * 8159.0).astype(np.int32), 8159)
+    mag33 = mag + 33
+    # segment e holds mag33 in [2^(e+5), 2^(e+6)); top code (7,15) absorbs
+    # the clip edge (mag33 = 8192 = 2^13 exactly)
+    exponent = np.clip(np.floor(np.log2(mag33)).astype(np.int32) - 5, 0, 7)
+    mantissa = np.clip((mag33 >> (exponent + 1)) - 16, 0, 15)
+    u = (np.where(x < 0, 0x80, 0) | (exponent << 4) | mantissa).astype(np.uint8)
+    body = (~u & 0xFF).astype(np.uint8).tobytes()
+    fmt = (
+        b"fmt "
+        + (18).to_bytes(4, "little")
+        + (7).to_bytes(2, "little")     # mu-law
+        + (1).to_bytes(2, "little")     # mono
+        + sample_rate.to_bytes(4, "little")
+        + sample_rate.to_bytes(4, "little")  # byte rate (1 byte/sample)
+        + (1).to_bytes(2, "little")     # block align
+        + (8).to_bytes(2, "little")     # bits
+        + (0).to_bytes(2, "little")     # cbSize
+    )
+    data = b"data" + len(body).to_bytes(4, "little") + body
+    riff_body = b"WAVE" + fmt + data
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:

@@ -291,3 +291,51 @@ def test_png_backend_rejects_unsupported():
     data[ihdr_at + 8] = 16  # bit depth byte inside IHDR
     with _pytest.raises(ValueError, match="only 8-bit"):
         be.decode_image(bytes(data), 2, 2, 3)
+
+
+def test_mulaw_backend_real_decode_roundtrip(spark):
+    """Companded (compressed) audio codec path: G.711 mu-law WAV bytes ->
+    float samples within one quantization step; exact idempotence; Spark
+    audio_features agrees with the numpy reduce."""
+    import numpy as np
+
+    from sparkgraph.multimodal import (
+        MEDIA_SCHEMA,
+        MulawWavDecodeBackend,
+        audio_features,
+        encode_mulaw_wav,
+    )
+
+    rng = np.random.RandomState(9)
+    be = MulawWavDecodeBackend()
+    rows, want = [], {}
+    for i, n in enumerate([800, 4000, 1]):
+        x = np.clip(rng.randn(n) * 0.4, -1, 1)
+        data = encode_mulaw_wav(x, 8000)
+        y = be.decode_audio(data, 8000)
+        assert len(y) == n
+        assert np.abs(y - x).max() < 0.032  # one mu-law step at full scale
+        # companding is exactly idempotent: decode o encode is a projection
+        assert (be.decode_audio(encode_mulaw_wav(y, 8000), 8000) == y).all()
+        meta = {"width": 0, "height": 0, "channels": 0, "sample_rate": 8000, "n_frames": 0}
+        rows.append((i, "audio", bytearray(data), meta))
+        yy = y.astype(np.float64)
+        want[i] = (n, np.sqrt((yy * yy).mean()), np.abs(yy).max())
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r.media_id: (r.n_samples, r.rms, r.peak)
+        for r in audio_features(df, backend=MulawWavDecodeBackend()).collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) < 1e-9, i
+        assert abs(got[i][2] - want[i][2]) < 1e-9, i
+
+    import pytest as _pytest
+
+    from sparkgraph.multimodal import encode_wav
+
+    with _pytest.raises(ValueError, match="only 8-bit mu-law"):
+        MulawWavDecodeBackend().decode_audio(encode_wav(np.zeros(4), 8000), 8000)
