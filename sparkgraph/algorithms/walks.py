@@ -220,6 +220,7 @@ def node2vec_walks(
     mixer: str = "xxhash",
     checkpoint_every: int = 1,
     max_degree: int | None = 100_000,
+    weighted: bool = False,
 ) -> DataFrame:
     """node2vec (Grover & Leskovec 2016) second-order biased walks: from
     ``cur`` having arrived from ``prev``, the unnormalized probability of
@@ -241,7 +242,13 @@ def node2vec_walks(
     cumsum, no driver state). ``max_degree`` guards the quadratic hub
     envelope: raise above it rather than silently exploding (cap hubs or fall
     back to first-order ``random_walks`` — the standard production
-    mitigations)."""
+    mitigations).
+
+    ``weighted=True`` gives the full Grover-Leskovec transition — bias ×
+    EDGE WEIGHT π(x) = α_pq(prev, x) · w(cur, x) — with the same integer
+    exactness contract as ``weighted_random_walks`` (weights must be
+    integers ≥ 1; parallel edges summed; slot expansion factor × mean
+    weight; hop 1 is weight-proportional first-order)."""
     from fractions import Fraction
     from math import lcm
 
@@ -259,6 +266,24 @@ def node2vec_walks(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    if weighted:
+        ew = graph.edges.select("src", "dst", "weight").filter(
+            F.col("src") != F.col("dst")
+        )
+        symw = ew.unionByName(
+            ew.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        )
+        pw = symw.groupBy("src", "dst").agg(F.sum("weight").alias("ww"))
+        bad = pw.filter(
+            (F.col("ww") < 1) | (F.col("ww") != F.floor(F.col("ww")))
+        ).count()
+        if bad:
+            raise ValueError(
+                f"weighted node2vec needs integer weights >= 1 ({bad} bad pairs)"
+            )
+        pw = pw.select("src", "dst", F.col("ww").cast("long").alias("ew"))
+    else:
+        pw = s1.withColumn("ew", F.lit(1).cast("long"))
     if max_degree is not None:
         top = (
             s1.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -275,10 +300,14 @@ def node2vec_walks(
     # x = prev is never itself an edge match)
     tri = (
         s1.select(F.col("src").alias("prev"), F.col("dst").alias("cur"))
-        .join(s1.select(F.col("src").alias("cur"), F.col("dst").alias("x")), "cur")
+        .join(
+            pw.select(F.col("src").alias("cur"), F.col("dst").alias("x"), "ew"),
+            "cur",
+        )
         .join(
             s1.select(
-                F.col("src").alias("prev"), F.col("dst").alias("x"),
+                F.col("src").alias("prev"),
+                F.col("dst").alias("x"),
                 F.lit(1).alias("is_in"),
             ),
             ["prev", "x"],
@@ -288,9 +317,12 @@ def node2vec_walks(
             "prev",
             "cur",
             "x",
-            F.when(F.col("x") == F.col("prev"), F.lit(w_ret))
-            .when(F.col("is_in").isNotNull(), F.lit(w_in))
-            .otherwise(F.lit(w_out))
+            (
+                F.when(F.col("x") == F.col("prev"), F.lit(w_ret))
+                .when(F.col("is_in").isNotNull(), F.lit(w_in))
+                .otherwise(F.lit(w_out))
+                * F.col("ew")  # × edge weight (1 when unweighted — unchanged)
+            )
             .cast("long")
             .alias("w"),
         )
@@ -332,9 +364,26 @@ def node2vec_walks(
         .persist()
     )
 
-    # hop 1: uniform first-order over the dst-ranked adjacency, landing with
-    # the second-order modulus W(start, nbr)
-    adj1 = indexed_adjacency(graph)
+    # hop 1: first-order over the dst-ranked adjacency (uniform, or
+    # weight-proportional slots when weighted), landing with the
+    # second-order modulus W(start, nbr)
+    if weighted:
+        w1 = Window.partitionBy("src")
+        cum1 = pw.select(
+            "src", "dst", "ew",
+            F.sum("ew").over(w1.orderBy("dst")).alias("cum1"),
+            F.sum("ew").over(w1).alias("wdeg"),
+        )
+        adj1 = cum1.select(
+            "src",
+            F.explode(
+                F.sequence(F.col("cum1") - F.col("ew"), F.col("cum1") - 1)
+            ).alias("idx"),
+            "dst",
+            F.col("wdeg").alias("deg"),
+        )
+    else:
+        adj1 = indexed_adjacency(graph)
     deg = adj1.select(F.col("src").alias("vertex"), "deg").distinct()
     start = deg.select(F.col("vertex").alias("walk_id"), "vertex", "deg")
     levels = [start.select("walk_id", F.lit(0).alias("step"), F.col("vertex"))]

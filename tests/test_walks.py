@@ -253,3 +253,78 @@ def test_node2vec_max_degree_guard(spark):
 
     with pytest.raises(ValueError, match="max_degree"):
         node2vec_walks(_graph(spark, GRAPH_MAIN), 2, max_degree=2)
+
+
+def _node2vec_weighted_oracle(wpairs, walk_len, p, q, mix):
+    """Weighted second-order replay: slot weight = alpha_pq(prev, x) *
+    w(cur, x); hop 1 weight-proportional first-order."""
+    from fractions import Fraction
+    from math import lcm
+
+    a_ret, a_out = 1 / Fraction(str(p)), 1 / Fraction(str(q))
+    scale = lcm(a_ret.denominator, a_out.denominator)
+    w_ret, w_in, w_out = int(a_ret * scale), int(scale), int(a_out * scale)
+    w: dict = {}
+    for s, d, x in wpairs:
+        if s == d:
+            continue
+        w[(s, d)] = w.get((s, d), 0) + int(x)
+        w[(d, s)] = w.get((d, s), 0) + int(x)
+    adj: dict = {}
+    for (s, d) in w:
+        adj.setdefault(s, set()).add(d)
+    adj = {v: sorted(ns) for v, ns in adj.items()}
+    trace = []
+    for start in sorted(adj):
+        trace.append((start, 0, start))
+        slots = [x for x in adj[start] for _ in range(w[(start, x)])]
+        prev, cur = start, slots[mix(start, 1, start) % len(slots)]
+        trace.append((start, 1, cur))
+        for s in range(2, walk_len + 1):
+            slots = []
+            for x in adj[cur]:
+                b = w_ret if x == prev else (w_in if x in adj[prev] else w_out)
+                slots.extend([x] * (b * w[(cur, x)]))
+            nxt = slots[mix(start, s, cur) % len(slots)]
+            prev, cur = cur, nxt
+            trace.append((start, s, cur))
+    return sorted(trace)
+
+
+def test_node2vec_weighted_matches_python_oracle(spark):
+    from sparkgraph.algorithms.walks import node2vec_walks
+    from sparkgraph.graph import Graph
+
+    walk_len, p, q = 5, 2, 3
+    wpairs = [(s, d, float(1 + (s + d) % 3)) for s, d in GRAPH_MAIN]
+    g = Graph(spark.createDataFrame(wpairs, "src long, dst long, weight double"))
+    got = sorted(
+        (r.walk_id, r.step, r.vertex)
+        for r in node2vec_walks(
+            g, walk_len, p=p, q=q, mixer="affine", weighted=True
+        ).collect()
+    )
+    assert got == _node2vec_weighted_oracle(wpairs, walk_len, p, q, _affine)
+    # unit weights reduce exactly to the unweighted path
+    g1 = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in GRAPH_MAIN], "src long, dst long, weight double"
+    )
+    uw = sorted(
+        (r.walk_id, r.step, r.vertex)
+        for r in node2vec_walks(
+            Graph(g1), walk_len, p=p, q=q, mixer="affine", weighted=True
+        ).collect()
+    )
+    plain = sorted(
+        (r.walk_id, r.step, r.vertex)
+        for r in node2vec_walks(
+            _graph(spark, GRAPH_MAIN), walk_len, p=p, q=q, mixer="affine"
+        ).collect()
+    )
+    assert uw == plain
+
+    import pytest as _pytest
+
+    gf = Graph(spark.createDataFrame([(1, 2, 0.5)], "src long, dst long, weight double"))
+    with _pytest.raises(ValueError, match="integer weights"):
+        node2vec_walks(gf, 3, weighted=True)
