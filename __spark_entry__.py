@@ -861,7 +861,7 @@ def _mis_sql(rounds: int) -> str:
     for r in range(rounds):
         ctes.append(
             f"""p{r} AS MATERIALIZED (
-  SELECT id, ((id*{MIS_AFFINE_V} + {r * MIS_AFFINE_S}) % {MIS_AFFINE_MOD}) * 4294967296 + id AS key
+  SELECT id, (((((id % 2147483648) + 2147483648) % 2147483648)*{MIS_AFFINE_V} + {r * MIS_AFFINE_S}) % {MIS_AFFINE_MOD}) * 4294967296 + id AS key
   FROM live{r}
 ),
 nm{r} AS MATERIALIZED (
@@ -912,7 +912,7 @@ w0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur FROM verts)"""
     ctes = []
     for s in range(1, walk_len + 1):
         mix = (
-            f"((w.cur*{AFFINE_V} + w.walk_id*{AFFINE_W} + {s * AFFINE_S}) "
+            f"(((((w.cur % 2147483648) + 2147483648) % 2147483648)*{AFFINE_V} + (((w.walk_id % 2147483648) + 2147483648) % 2147483648)*{AFFINE_W} + {s * AFFINE_S}) "
             f"% {AFFINE_MOD}) % d.deg"
         )
         ctes.append(
@@ -962,7 +962,7 @@ w0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur FROM verts)"""
     ctes = []
     for s in range(1, walk_len + 1):
         mix = (
-            f"((w.cur*{AFFINE_V} + w.walk_id*{AFFINE_W} + {s * AFFINE_S}) "
+            f"(((((w.cur % 2147483648) + 2147483648) % 2147483648)*{AFFINE_V} + (((w.walk_id % 2147483648) + 2147483648) % 2147483648)*{AFFINE_W} + {s * AFFINE_S}) "
             f"% {AFFINE_MOD}) % d.wdeg"
         )
         ctes.append(
@@ -1088,13 +1088,13 @@ w1 AS MATERIALIZED (
   SELECT w.walk_id, w.cur AS prev, a.dst AS cur
   FROM w0 w JOIN adeg d ON w.cur = d.id
   JOIN adj1 a ON a.src = w.cur
-   AND a.idx = ((w.cur*{AFFINE_V} + w.walk_id*{AFFINE_W} + {AFFINE_S}) % {AFFINE_MOD}) % d.deg
+   AND a.idx = (((((w.cur % 2147483648) + 2147483648) % 2147483648)*{AFFINE_V} + (((w.walk_id % 2147483648) + 2147483648) % 2147483648)*{AFFINE_W} + {AFFINE_S}) % {AFFINE_MOD}) % d.deg
 )"""
     )
     ctes = []
     for s in range(2, walk_len + 1):
         mix = (
-            f"((w.cur*{AFFINE_V} + w.walk_id*{AFFINE_W} + {s * AFFINE_S}) "
+            f"(((((w.cur % 2147483648) + 2147483648) % 2147483648)*{AFFINE_V} + (((w.walk_id % 2147483648) + 2147483648) % 2147483648)*{AFFINE_W} + {s * AFFINE_S}) "
             f"% {AFFINE_MOD}) % t.wtot"
         )
         ctes.append(
@@ -2647,7 +2647,7 @@ def _coloring_sql(rounds: int) -> str:
         "und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM base)",
         "csym AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und)",
         "cdeg AS MATERIALIZED (SELECT u AS id, COUNT(*) AS deg FROM csym GROUP BY 1)",
-        "cpri AS MATERIALIZED (SELECT id, (id * 2654435761) % 1048576 AS p FROM cdeg)",
+        "cpri AS MATERIALIZED (SELECT id, ((((id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 1048576 AS p FROM cdeg)",
         "live0 AS MATERIALIZED (SELECT id FROM cdeg)",
         "col0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS INTEGER) AS color WHERE 1 = 0)",
     ]

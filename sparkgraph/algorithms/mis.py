@@ -35,9 +35,13 @@ def _priority(mixer: str, vertex, rnd: int):
     if mixer == "xxhash":
         return F.pmod(F.xxhash64(vertex, F.lit(rnd)), F.lit(MIS_AFFINE_MOD))
     if mixer == "affine":
-        return (vertex * F.lit(MIS_AFFINE_V) + F.lit(rnd * MIS_AFFINE_S)) % F.lit(
-            MIS_AFFINE_MOD
-        )
+        # pmod the id into [0, 2^31) before multiplying — raw xxhash64-range
+        # ids overflow int64 under ANSI mode (cf. louvain.PARITY_BOUND);
+        # identity for ids < 2^31, so gate replays are unchanged
+        return (
+            F.pmod(vertex, F.lit(2**31)) * F.lit(MIS_AFFINE_V)
+            + F.lit(rnd * MIS_AFFINE_S)
+        ) % F.lit(MIS_AFFINE_MOD)
     raise ValueError(f"unknown mixer {mixer!r}")
 
 

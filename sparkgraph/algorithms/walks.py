@@ -46,8 +46,14 @@ def _mix(mixer: str, walk_id, step: int, vertex, deg):
     if mixer == "xxhash":
         return F.pmod(F.xxhash64(walk_id, F.lit(step), vertex), deg)
     if mixer == "affine":
+        # pmod BOTH ids into [0, 2^31) before multiplying: raw xxhash64-range
+        # vertex/walk ids would overflow int64 under ANSI mode (the same
+        # class as louvain.PARITY_BOUND); identical for ids < 2^31, and the
+        # bounded products sum to < 2^63 (5.70e18 + 2.37e18 + steps)
         raw = (
-            vertex * F.lit(AFFINE_V) + walk_id * F.lit(AFFINE_W) + F.lit(step * AFFINE_S)
+            F.pmod(vertex, F.lit(AFFINE_MOD)) * F.lit(AFFINE_V)
+            + F.pmod(walk_id, F.lit(AFFINE_MOD)) * F.lit(AFFINE_W)
+            + F.lit(step * AFFINE_S)
         ) % F.lit(AFFINE_MOD)
         return F.pmod(raw, deg)
     raise ValueError(f"unknown mixer {mixer!r}")

@@ -163,3 +163,39 @@ def test_coloring_xxhash_mixer_proper_on_random_graph(spark):
     for v, c in got.items():
         assert c <= deg[v], v
     g.unpersist()
+
+
+def test_mis_and_coloring_survive_xxhash64_range_ids(spark):
+    """Regression (same ANSI-overflow class as the Louvain parity guard):
+    the affine priority must not overflow int64 on full-range xxhash64 ids.
+    Before the pmod bound, `id * MIS_AFFINE_V` raised ARITHMETIC_OVERFLOW."""
+    from sparkgraph.algorithms.coloring import greedy_coloring
+    from sparkgraph.algorithms.mis import maximal_independent_set
+    from sparkgraph.graph import Graph
+    from sparkgraph.io.edgelist import edges_from_pairs
+
+    from tests.fixtures import GRAPH_MAIN
+
+    verts = sorted({v for e in GRAPH_MAIN for v in e})
+    base = 7_000_000_000_000_000_000
+    big = {v: base + v * 13 for v in verts}
+    big[verts[0]] = -8_123_456_789_012_345_678
+    big[verts[3]] = -4_611_686_018_427_387_911
+    pairs = [(big[s], big[d]) for s, d in GRAPH_MAIN]
+    g = Graph(edges_from_pairs(spark, pairs), num_partitions=4)
+
+    mis = {r.id for r in maximal_independent_set(g, mixer="affine").state.collect()}
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    for v in mis:
+        assert not (adj[v] & mis), v  # independent
+    for v in adj:
+        assert v in mis or (adj[v] & mis), v  # maximal
+
+    col = {r.id: r.color for r in greedy_coloring(g, mixer="affine").state.collect()}
+    for s, d in pairs:
+        if s != d:
+            assert col[s] != col[d], (s, d)
+    g.unpersist()

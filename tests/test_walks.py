@@ -328,3 +328,33 @@ def test_node2vec_weighted_matches_python_oracle(spark):
     gf = Graph(spark.createDataFrame([(1, 2, 0.5)], "src long, dst long, weight double"))
     with _pytest.raises(ValueError, match="integer weights"):
         node2vec_walks(gf, 3, weighted=True)
+
+
+def test_walks_affine_mixer_survives_xxhash64_range_ids(spark):
+    """Regression: the affine next-hop mixer must not overflow int64 on
+    full-range vertex/walk ids (pmod bound, cf. louvain.PARITY_BOUND)."""
+    from sparkgraph.algorithms.walks import random_walks
+    from sparkgraph.graph import Graph
+    from sparkgraph.io.edgelist import edges_from_pairs
+
+    verts = sorted({v for e in GRAPH_MAIN for v in e})
+    base = 7_000_000_000_000_000_000
+    big = {v: base + v * 13 for v in verts}
+    big[verts[1]] = -8_123_456_789_012_345_678
+    pairs = [(big[s], big[d]) for s, d in GRAPH_MAIN]
+    g = Graph(edges_from_pairs(spark, pairs), num_partitions=4)
+    adj = {}
+    for s, d in pairs:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    trace = random_walks(g, 4, mixer="affine").collect()
+    assert len(trace) == 5 * len(adj)  # steps 0..4 for every start
+    by_walk = {}
+    for r in trace:
+        by_walk.setdefault(r.walk_id, {})[r.step] = r.vertex
+    for w, steps in by_walk.items():
+        assert steps[0] == w
+        for s in range(1, 5):
+            assert steps[s] in adj[steps[s - 1]], (w, s)  # real edges only
+    g.unpersist()
