@@ -10,7 +10,9 @@ is one lazy plan per output and scales with the cluster:
   4. PII scrub              (email/ip/phone redaction + audit sha)
   5. quality + language     (heuristic scores, langid)
   6. decontamination        (n-gram overlap vs a benchmark probe set)
-  7. TF-IDF top terms       (per-doc salient vocabulary)
+  7. repetition + LM score  (Gopher dup_ratio + corpus-unigram neg-logp,
+                             round-4 quality signals)
+  8. TF-IDF top terms       (per-doc salient vocabulary)
 
 Usage:
     python examples/corpus_pipeline.py [sf_dir]   # default /root/testdata/sf0.01
@@ -34,7 +36,9 @@ from sparkgraph.text import (
     language_id,
     pii_scrub,
     quality_score,
+    repetition_stats,
     tfidf_top_terms,
+    unigram_logprob,
 )
 
 
@@ -67,7 +71,17 @@ def main() -> None:
         "left_semi",
     )
 
-    # 7: per-doc salient vocabulary over the surviving corpus
+    # 7: round-4 quality signals — repetition (degenerate looping docs) and
+    # corpus-unigram LM score (rare-token outliers); both as filters
+    rep = repetition_stats(kept, n=2)
+    lm = unigram_logprob(kept)
+    final = clean.join(
+        rep.filter(F.col("dup_ratio") <= 0.9).select("doc_id"), "doc_id", "left_semi"
+    ).join(
+        lm.filter(F.col("avg_neg_logp") <= 12.0).select("doc_id"), "doc_id", "left_semi"
+    )
+
+    # 8: per-doc salient vocabulary over the surviving corpus
     terms = tfidf_top_terms(kept, k=3)
 
     print(f"docs in:               {n0}")
@@ -77,6 +91,9 @@ def main() -> None:
     print(f"docs with PII hits:    {scrubbed.filter('n_email + n_ipv4 + n_phone > 0').count()}")
     print(f"quality-pass docs:     {good.count()}")
     print(f"clean (decontam) docs: {clean.count()}")
+    print(f"high-repetition docs:  {rep.filter('dup_ratio > 0.9').count()}")
+    print(f"LM-outlier docs:       {lm.filter('avg_neg_logp > 12.0').count()}")
+    print(f"final corpus:          {final.count()}")
     print("sample salient terms:")
     terms.orderBy("doc_id", "rank").show(9, truncate=False)
     spark.stop()

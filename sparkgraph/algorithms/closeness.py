@@ -23,7 +23,13 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from sparkgraph.graph import Graph
-from sparkgraph.pregel import MAX_FIXPOINT_ITERS, PregelResult, SuperstepLoop, truncate_lineage
+from sparkgraph.pregel import (
+    MAX_FIXPOINT_ITERS,
+    PregelResult,
+    SuperstepLoop,
+    truncate_lineage,
+    warn_unconverged,
+)
 
 
 def _pivot_bfs(
@@ -32,11 +38,13 @@ def _pivot_bfs(
     pivots: list[int] | None,
     max_depth: int,
     algorithm: str,
-) -> tuple[DataFrame, DataFrame, int, list[int], SuperstepLoop, int]:
+) -> tuple[DataFrame, DataFrame, int, list[int], SuperstepLoop, int, bool]:
     """Shared multi-pivot level-synchronous BFS over the simple undirected
-    graph. Returns ``(state, verts, n, pivots, loop, step)`` where state is
-    the first-seen table ``(pivot, id, depth)`` (lineage-truncated — the
-    symmetrized edge cache is already released)."""
+    graph. Returns ``(state, verts, n, pivots, loop, step, complete)``
+    where state is the first-seen table ``(pivot, id, depth)``
+    (lineage-truncated — the symmetrized edge cache is already released)
+    and ``complete`` is False iff the depth ceiling cut a live frontier
+    (the BFS, and anything derived from it, is then a truncation)."""
     spark = graph.spark
     simple = graph.simple_undirected()
     sym = truncate_lineage(
@@ -59,6 +67,7 @@ def _pivot_bfs(
     frontier = state
     step = 0
     depth = 0
+    complete = False
     while depth < max_depth:
         loop.step_started()
         cand = (
@@ -74,13 +83,16 @@ def _pivot_bfs(
         step += 1
         loop.step_done(state, step, changed=n_new)
         if n_new == 0:
+            complete = True
             break
         state = truncate_lineage(state.unionByName(new))
         frontier = new
         depth += 1
 
     sym.unpersist()
-    return state, verts, n, pivots, loop, step
+    if not complete:
+        warn_unconverged(algorithm, step, max_depth)
+    return state, verts, n, pivots, loop, step, complete
 
 
 def harmonic_closeness_sampled(
@@ -93,7 +105,7 @@ def harmonic_closeness_sampled(
     """Returns state ``(id, closeness: double)`` — ``(n/k)·Σ_{p∈pivots, p≠v}
     1/d(p,v)``, exact when the pivots cover every vertex; ``normalize``
     divides by (n-1) (the max possible H, all vertices adjacent)."""
-    state, verts, n, pivots, loop, step = _pivot_bfs(
+    state, verts, n, pivots, loop, step, complete = _pivot_bfs(
         graph, k, pivots, max_depth, "closeness"
     )
     scale = n / float(len(pivots))
@@ -109,7 +121,7 @@ def harmonic_closeness_sampled(
         out = out.select(
             "id", (F.col("closeness") / F.lit(max(n - 1, 1))).alias("closeness")
         )
-    return loop.finish(out, step, converged=True, result=out)
+    return loop.finish(out, step, converged=complete, result=out)
 
 
 def eccentricity_sampled(
@@ -122,11 +134,11 @@ def eccentricity_sampled(
     the same one-loop multi-pivot BFS; ``max(eccentricity)`` over the sample
     is the standard LOWER bound on the graph diameter (exact when a
     peripheral vertex is sampled). Returns state ``(pivot, eccentricity)``."""
-    state, _, _, _, loop, step = _pivot_bfs(
+    state, _, _, _, loop, step, complete = _pivot_bfs(
         graph, k, pivots, max_depth, "eccentricity"
     )
     out = state.groupBy("pivot").agg(F.max("depth").alias("eccentricity"))
-    return loop.finish(out, step, converged=True, result=out)
+    return loop.finish(out, step, converged=complete, result=out)
 
 
 def landmark_distances(
@@ -148,13 +160,13 @@ def landmark_distances(
     with closeness/eccentricity — supersteps = BFS depth regardless of k;
     the output is k·n rows max, written once and reused by every distance
     query (build-once index, like ``similarity.ivf_index``)."""
-    state, _, _, _, loop, step = _pivot_bfs(
+    state, _, _, _, loop, step, complete = _pivot_bfs(
         graph, k, landmarks, max_depth, "landmark_distances"
     )
     out = state.select(
         "id", F.col("pivot").alias("landmark"), F.col("depth").alias("dist")
     )
-    return loop.finish(out, step, converged=True, result=out)
+    return loop.finish(out, step, converged=complete, result=out)
 
 
 def landmark_distance_estimate(
