@@ -2496,6 +2496,93 @@ SELECT query_id, vec_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
 ) WHERE rn <= {IVF_BATCH_K}"""
 
 
+def _q_codegraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the derived code graph — an id-SYMMETRIC metric
+    (unlike labels, the count is independent of the engine's xxhash64 ids
+    vs the oracle's string ids), so the closed-form generator replay gates
+    a graph algorithm on the PRIMARY (code) input end-to-end."""
+    from sparkgraph.algorithms.triangles import triangle_count_df
+    from sparkgraph.derive import derive_code_edges
+    from sparkgraph.ingest import commit_memberships, ingest_sources
+
+    src = _codegraph_sources(spark)
+    verts = ingest_sources(src)
+    edges = derive_code_edges(
+        verts, commit_memberships(src), max_commit_files=CG_COCHANGE_CAP
+    )
+    return triangle_count_df(Graph(edges.select("src", "dst")))
+
+
+def _q_codegraph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component SIZE histogram on the code graph — labels differ
+    between engines (min numeric id vs min string id) but the partition
+    into components is identical, so (size, n_components) is id-symmetric
+    and exactly comparable."""
+    from sparkgraph.algorithms import connected_components
+    from sparkgraph.derive import derive_code_edges
+    from sparkgraph.ingest import commit_memberships, ingest_sources
+
+    src = _codegraph_sources(spark)
+    verts = ingest_sources(src)
+    edges = derive_code_edges(
+        verts, commit_memberships(src), max_commit_files=CG_COCHANGE_CAP
+    )
+    res = connected_components(Graph(edges.select("src", "dst")))
+    return (
+        res.state.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+    )
+
+
+def _codegraph_triangles_sql() -> str:
+    return (
+        "WITH " + _CG_CTE + """,
+cg_e AS MATERIALIZED (
+  SELECT p1.repo || '|' || p1.path AS src, p2.repo || '|' || p2.path AS dst
+  FROM (SELECT r, f AS fs, t AS fd FROM cg_imports
+        UNION ALL SELECT r, f1 AS fs, f2 AS fd FROM cg_cochange) e
+  JOIN cg_paths p1 ON e.r = p1.r AND e.fs = p1.f
+  JOIN cg_paths p2 ON e.r = p2.r AND e.fd = p2.f
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM cg_e WHERE src <> dst
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+FROM und a JOIN und b ON a.v = b.u JOIN und c ON c.u = a.u AND c.v = b.v"""
+    )
+
+
+def _codegraph_components_sql() -> str:
+    return (
+        "WITH RECURSIVE " + _CG_CTE + """,
+cg_e AS MATERIALIZED (
+  SELECT p1.repo || '|' || p1.path AS src, p2.repo || '|' || p2.path AS dst
+  FROM (SELECT r, f AS fs, t AS fd FROM cg_imports
+        UNION ALL SELECT r, f1 AS fs, f2 AS fd FROM cg_cochange) e
+  JOIN cg_paths p1 ON e.r = p1.r AND e.fs = p1.f
+  JOIN cg_paths p2 ON e.r = p2.r AND e.fd = p2.f
+),
+csym AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM cg_e UNION ALL SELECT dst AS src, src AS dst FROM cg_e
+  ) WHERE src <> dst
+),
+cverts AS MATERIALIZED (SELECT DISTINCT src AS id FROM csym),
+reach(a, b) AS (
+  SELECT id AS a, id AS b FROM cverts
+  UNION
+  SELECT r.a, e.dst AS b FROM reach r JOIN csym e ON r.b = e.src
+),
+comp AS MATERIALIZED (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a)
+SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components FROM (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS size FROM comp GROUP BY component
+) GROUP BY size"""
+    )
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repeated-bigram quality signal (text.repetition_stats)."""
     from sparkgraph.text import repetition_stats
@@ -2758,6 +2845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob_documents": _q_unigram_logprob,
         "coloring_parts_affine": _q_coloring,
         "ann_ivf_batch": _q_ann_ivf_batch,
+        "codegraph_triangles": _q_codegraph_triangles,
+        "codegraph_components": _q_codegraph_components,
         # -- padding to the 50-cap: green r03, re-verified r04 -------------
         "langid_documents": _q_langid,
         "ngram_jaccard_documents": _q_jaccard,
@@ -2832,6 +2921,8 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob_documents": _UNIGRAM_SQL,
         "coloring_parts_affine": _coloring_sql(COLORING_UNROLL),
         "ann_ivf_batch": _IVF_BATCH_SQL,
+        "codegraph_triangles": _codegraph_triangles_sql(),
+        "codegraph_components": _codegraph_components_sql(),
         "eccentricity_bipartite": _eccentricity_sql(BETW_PIVOTS, BETW_DEPTH),
         "mis_bipartite": _mis_sql(MIS_ROUNDS),
         "node2vec_bipartite": _node2vec_sql(WALK_LEN, N2V_P, N2V_Q),
