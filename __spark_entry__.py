@@ -2496,6 +2496,55 @@ SELECT query_id, vec_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
 ) WHERE rn <= {IVF_BATCH_K}"""
 
 
+FEATPROP_ROUNDS = 2
+
+
+def _q_feature_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SGC/LightGCN-style feature smoothing (features.feature_propagation)
+    of the embeddings over the bipartite graph — exact integer walk-sum
+    state (id, pos, num, w); val = num/(w*1000)."""
+    from sparkgraph.features import feature_propagation
+
+    g = Graph(bipartite_edges(spark, sf_dir))
+    emb = _read(spark, sf_dir, "embeddings")
+    # raw integer state: bit-exact across engines (see the operator's
+    # docstring — a rounded quotient can land on a decimal half)
+    return feature_propagation(g, emb, rounds=FEATPROP_ROUNDS, raw=True)
+
+
+def _featprop_sql(rounds: int, scale: int = 1000) -> str:
+    """Unrolled twin of the INTEGER-EXACT walk-sum smoothing: quantize once
+    to ``scale`` fixed-point ints, propagate exact (num, w) sums per hop,
+    divide once at the end — bit-equal across engines by construction."""
+    ctes = [
+        """fund AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM sym WHERE src <> dst
+)""",
+        "fsym AS MATERIALIZED (SELECT u, v FROM fund UNION ALL SELECT v AS u, u AS v FROM fund)",
+        f"""f0 AS MATERIALIZED (
+  SELECT vec_id AS id, i - 1 AS pos,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {scale}) AS BIGINT) AS num,
+         CAST(1 AS BIGINT) AS w
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) s(i)
+)""",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""f{r + 1} AS MATERIALIZED (
+  SELECT id, pos, CAST(SUM(num) AS BIGINT) AS num, CAST(SUM(w) AS BIGINT) AS w
+  FROM (
+    SELECT e.v AS id, f.pos, f.num, f.w FROM fsym e JOIN f{r} f ON f.id = e.u
+    UNION ALL SELECT id, pos, num, w FROM f{r}
+  ) GROUP BY id, pos
+)"""
+        )
+    return (
+        "WITH " + _BIP_CTE + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT id, pos, num, w FROM f{rounds}"
+    )
+
+
 def _q_codegraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count on the derived code graph — an id-SYMMETRIC metric
     (unlike labels, the count is independent of the engine's xxhash64 ids
@@ -2847,6 +2896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_batch": _q_ann_ivf_batch,
         "codegraph_triangles": _q_codegraph_triangles,
         "codegraph_components": _q_codegraph_components,
+        "feature_prop_bipartite": _q_feature_prop,
         # -- padding to the 50-cap: green r03, re-verified r04 -------------
         "langid_documents": _q_langid,
         "ngram_jaccard_documents": _q_jaccard,
@@ -2923,6 +2973,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_batch": _IVF_BATCH_SQL,
         "codegraph_triangles": _codegraph_triangles_sql(),
         "codegraph_components": _codegraph_components_sql(),
+        "feature_prop_bipartite": _featprop_sql(FEATPROP_ROUNDS),
         "eccentricity_bipartite": _eccentricity_sql(BETW_PIVOTS, BETW_DEPTH),
         "mis_bipartite": _mis_sql(MIS_ROUNDS),
         "node2vec_bipartite": _node2vec_sql(WALK_LEN, N2V_P, N2V_Q),

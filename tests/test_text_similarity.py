@@ -308,3 +308,63 @@ def test_ivf_topk_batch_matches_per_query(vectors):
             for i, r in enumerate(ivf_topk(index, q, cents, k=5, nprobe=3).collect())
         ]
         assert sorted(got[qid]) == want, qid
+
+
+def test_feature_propagation_matches_python(spark):
+    """Walk-count-weighted SGC smoothing vs a pure-python integer-exact
+    replay, including featureless and non-graph vertices."""
+    from collections import defaultdict
+
+    from sparkgraph.features import feature_propagation
+    from sparkgraph.graph import Graph
+
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (10, 11)]
+    feats = {1: [1.0, 0.0], 2: [0.0, 1.0], 3: [2.0, 2.0], 4: [4.0, -4.0],
+             10: [8.0, 8.0], 99: [5.0, 5.0]}  # 99 not in graph; 11 featureless
+    g = Graph(spark.createDataFrame(pairs, "src long, dst long"))
+    fdf = spark.createDataFrame(
+        [(k, v) for k, v in feats.items()], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r.id, r.pos): r.val
+        for r in feature_propagation(g, fdf, rounds=2).collect()
+    }
+
+    adj = defaultdict(set)
+    for s, d in pairs:
+        adj[s].add(d)
+        adj[d].add(s)
+    # integer-exact replay: quantize to 3-dp ints, propagate (num, w) sums
+    x = {k: [(round(c * 1000), 1) for c in v] for k, v in feats.items()}
+    for _ in range(2):
+        new = {}
+        for v in set(adj) | set(x):
+            contrib = [x[u] for u in adj.get(v, ()) if u in x]
+            if v in x:
+                contrib.append(x[v])
+            if contrib:
+                new[v] = [
+                    (sum(c[p][0] for c in contrib), sum(c[p][1] for c in contrib))
+                    for p in range(2)
+                ]
+        x = new
+    want = {
+        (v, p): round(x[v][p][0] / (x[v][p][1] * 1000.0), 6)
+        for v in x for p in range(2)
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+    # vertex 99 has no graph edges: its features are fixed points
+    assert got[(99, 0)] == 5.0 and got[(99, 1)] == 5.0
+    # featureless vertex 11 acquired its featured neighbor's values
+    assert got[(11, 0)] == 8.0 and got[(11, 1)] == 8.0
+    # raw mode: exact integer state, and num/(w*scale) reproduces val
+    raw = {
+        (r.id, r.pos): (r.num, r.w)
+        for r in feature_propagation(g, fdf, rounds=2, raw=True).collect()
+    }
+    assert set(raw) == set(got)
+    for k, (num, w) in raw.items():
+        assert got[k] == round(num / (w * 1000.0), 6), k
+    g.unpersist()
