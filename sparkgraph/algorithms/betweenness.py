@@ -15,6 +15,12 @@ supersteps = 2 × BFS depth, independent of k.
 Pivots default to the k smallest vertex ids — DETERMINISTIC on purpose (the
 oracle gate and tests replay it); pass explicit ``pivots`` for production
 random sampling.
+
+Memory envelope (measured, BENCH.md round 4): the per-depth sigma
+aggregation's hash maps scale with |BFS level| / shuffle_partitions — on a
+138 M sym-edge graph, 32 partitions OOM'd a 16 g JVM while 96 partitions
+completed in 378 s. At scale, raise ``spark.sql.shuffle.partitions`` (or
+the session default) FIRST; heap second.
 """
 
 from __future__ import annotations
