@@ -64,7 +64,7 @@ def main() -> None:
     # the round-3 shape, kept for comparison: raw corpus in = full
     # re-assignment inside every query
     reassign = timed(
-        lambda: ivf_topk(emb, q, cents, k=TOPK, nprobe=NPROBE).collect()
+        lambda: ivf_topk(emb, q, cents, k=TOPK, nprobe=NPROBE, allow_assign=True).collect()
     )
     # rows the pruned scan touches = members of the nprobe lists
     import numpy as np

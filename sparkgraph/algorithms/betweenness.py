@@ -19,11 +19,17 @@ random sampling.
 Memory envelope (measured, BENCH.md round 4): the per-depth sigma
 aggregation's hash maps scale with |BFS level| / shuffle_partitions — on a
 138 M sym-edge graph, 32 partitions OOM'd a 16 g JVM while 96 partitions
-completed in 378 s. At scale, raise ``spark.sql.shuffle.partitions`` (or
-the session default) FIRST; heap second.
+completed in 378 s. Since round 5 that knob turns ITSELF:
+``sigma_shuffle_partitions`` derives the aggregation's partition count from
+the k·n state-row bound (the measured 138 M-edge config falls out of the
+default math — 2 pivots × 4.8 M vertices / 1e5 rows-per-partition = 96),
+and the forward/backward aggregations repartition to it whenever it exceeds
+the session default. Partitions before heap, now in code.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -32,6 +38,27 @@ from pyspark.storagelevel import StorageLevel
 from sparkgraph.graph import Graph
 from sparkgraph.pregel import MAX_FIXPOINT_ITERS, PregelResult, SuperstepLoop, truncate_lineage
 
+# Measured on the 138 M-sym-edge LiveJournal run (BENCH.md round 4): 1e5
+# (pivot, id) groups per partition kept the per-depth hash maps inside a
+# 16 g executor; 3e5 (the 32-partition config) OOM'd it.
+SIGMA_ROWS_PER_PARTITION = 100_000
+
+
+def sigma_shuffle_partitions(
+    n_vertices: int,
+    k_pivots: int,
+    session_partitions: int,
+    rows_per_partition: int = SIGMA_ROWS_PER_PARTITION,
+) -> int:
+    """Partition count for the per-depth sigma/dependency aggregations.
+
+    The aggregation state is keyed (pivot, id), so a depth level holds at
+    most k·n groups; sizing partitions to ``rows_per_partition`` groups each
+    bounds every partition's hash map regardless of graph size. Never goes
+    BELOW the session default (small graphs keep their existing plans)."""
+    need = math.ceil(max(1, k_pivots * n_vertices) / rows_per_partition)
+    return max(int(session_partitions), need)
+
 
 def betweenness_sampled(
     graph: Graph,
@@ -39,6 +66,7 @@ def betweenness_sampled(
     pivots: list[int] | None = None,
     normalize: bool = True,
     max_depth: int = MAX_FIXPOINT_ITERS,
+    rows_per_partition: int = SIGMA_ROWS_PER_PARTITION,
 ) -> PregelResult:
     """Returns state ``(id, betweenness: double)`` — Brandes dependency sums
     from ``k`` pivot sources, scaled by n/k (unbiased estimator of the exact
@@ -59,7 +87,21 @@ def betweenness_sampled(
     if pivots is None:
         pivots = [r.id for r in verts.orderBy("id").limit(k).collect()]
     k = len(pivots)
-    loop = SuperstepLoop("betweenness", {"k": k, "normalize": normalize})
+    session_p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    sigma_p = sigma_shuffle_partitions(n, k, session_p, rows_per_partition)
+    loop = SuperstepLoop(
+        "betweenness",
+        {"k": k, "normalize": normalize, "sigma_partitions": sigma_p},
+    )
+
+    def _sized(df: DataFrame, *cols: str) -> DataFrame:
+        """Pre-shuffle onto the derived partition count, keyed by the
+        grouping columns, so the following groupBy reuses the distribution
+        (no second shuffle) with bounded per-partition hash maps. No-op at
+        gate scale (sigma_p == session default → plans unchanged)."""
+        if sigma_p <= session_p:
+            return df
+        return df.repartition(sigma_p, *[F.col(c) for c in cols])
 
     # forward phase: (pivot, id, depth, sigma = #shortest paths)
     pivot_df = spark.createDataFrame([(p,) for p in pivots], "pivot long")
@@ -78,7 +120,9 @@ def betweenness_sampled(
             frontier.withColumnRenamed("id", "u").hint("shuffle_hash"), "u"
         ).select("pivot", F.col("v").alias("id"), "sigma")
         # candidate next level: path counts sum over predecessors
-        cand = msgs.groupBy("pivot", "id").agg(F.sum("sigma").alias("sigma"))
+        cand = _sized(msgs, "pivot", "id").groupBy("pivot", "id").agg(
+            F.sum("sigma").alias("sigma")
+        )
         new = truncate_lineage(
             cand.join(state.select("pivot", "id"), ["pivot", "id"], "left_anti")
             .withColumn("depth", F.lit(depth + 1))
@@ -117,8 +161,7 @@ def betweenness_sampled(
             "pivot", F.col("id").alias("v"), F.col("delta").alias("dv_delta")
         )
         contrib = (
-            tree.filter(F.col("du") == d)
-            .join(dl, ["pivot", "v"])
+            _sized(tree.filter(F.col("du") == d).join(dl, ["pivot", "v"]), "pivot", "u")
             .groupBy("pivot", F.col("u").alias("id"))
             .agg(
                 F.sum(

@@ -127,4 +127,14 @@ def greedy_coloring(
 
     if not converged:
         warn_unconverged("coloring", step, max_iter)
+    # totality over V: vertices outside the simple undirected graph
+    # (isolated once self-loops/duplicates drop) never enter the JP loop —
+    # color 0 is trivially proper for them, and downstream joins against
+    # graph.vertices stay null-free.
+    isolated = (
+        graph.vertices.join(
+            sym.select(F.col("u").alias("id")).distinct(), "id", "left_anti"
+        ).select("id", F.lit(0).cast("int").alias("color"))
+    )
+    colored = colored.unionByName(isolated)
     return loop.finish(colored, step, converged, result=colored)

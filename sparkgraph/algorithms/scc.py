@@ -174,5 +174,13 @@ def strongly_connected_components(
     )
     e.unpersist()
     if not converged:
-        warn_unconverged("scc", step, max_iter)
+        # which ceiling fired? the inner fixpoints share the global ``step``
+        # budget (max_iter supersteps); the peel itself is capped by
+        # max_rounds — blame the knob that actually truncated the run.
+        if step >= max_iter:
+            warn_unconverged("scc", step, max_iter)
+        else:
+            warn_unconverged(
+                "scc", rounds, max_rounds, knob="max_rounds", unit="peel rounds"
+            )
     return loop.finish(state, step, converged, result=state)

@@ -246,9 +246,11 @@ def node2vec_walks(
     table has Σ_v deg(v)² · O(scaled weights) rows — the same footprint as
     node2vec's alias tables, built distributively (triple join + window
     cumsum, no driver state). ``max_degree`` guards the quadratic hub
-    envelope: raise above it rather than silently exploding (cap hubs or fall
-    back to first-order ``random_walks`` — the standard production
-    mitigations).
+    envelope: when the graph's max degree exceeds it, every hub is CAPPED to
+    its ``max_degree`` heaviest neighbors (smallest-id ties; the standard
+    production mitigation — walks are then exact on the capped graph, slot
+    rows ≤ m·max_degree instead of Σ deg²) with a logged warning. Pass
+    ``max_degree=None`` to forbid capping and pay the full quadratic build.
 
     ``weighted=True`` gives the full Grover-Leskovec transition — bias ×
     EDGE WEIGHT π(x) = α_pq(prev, x) · w(cur, x) — with the same integer
@@ -290,16 +292,42 @@ def node2vec_walks(
         pw = pw.select("src", "dst", F.col("ww").cast("long").alias("ew"))
     else:
         pw = s1.withColumn("ew", F.lit(1).cast("long"))
+    capped = False
     if max_degree is not None:
         top = (
             s1.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
             .agg(F.max("deg").alias("m")).collect()[0]["m"]
         )
         if top is not None and top > max_degree:
-            raise ValueError(
-                f"max degree {top} > max_degree={max_degree}: the second-order "
-                "slot table is O(deg^2) per hub — cap hubs or use random_walks"
+            # Hub capping (the standard production mitigation for node2vec's
+            # O(deg²)-per-hub slot table): every vertex keeps only its
+            # ``max_degree`` heaviest neighbors (ties → smallest dst id;
+            # unweighted ⇒ the max_degree smallest ids — deterministic).
+            # Hop 1, the slot table, the in-neighborhood classification and
+            # every landing modulus all derive from this ONE capped
+            # adjacency, so walks stay self-consistent — the bias is that
+            # transitions THROUGH a hub see a truncated neighborhood
+            # (documented node2vec degree-capping bias; exact walks on the
+            # capped graph). Slot rows drop from Σ deg² to ≤ Σ deg·D = m·D.
+            import logging
+
+            logging.getLogger("sparkgraph").warning(
+                "node2vec: max degree %d > max_degree=%d — capping every "
+                "hub to its %d heaviest neighbors (walks are exact on the "
+                "capped graph; raise max_degree to reduce the bias)",
+                top, max_degree, max_degree,
             )
+            wcap = Window.partitionBy("src").orderBy(
+                F.desc("ew"), F.asc("dst")
+            )
+            pw = (
+                pw.withColumn("rn", F.row_number().over(wcap))
+                .filter(F.col("rn") <= max_degree)
+                .drop("rn")
+            )
+            pw = truncate_lineage(pw, eager=False)
+            s1 = pw.select("src", "dst")
+            capped = True
 
     # second-order triples (prev -> cur -> x) with integer slot weights;
     # return beats in-neighborhood classification (loop-free base, so
@@ -387,6 +415,16 @@ def node2vec_walks(
             ).alias("idx"),
             "dst",
             F.col("wdeg").alias("deg"),
+        )
+    elif capped:
+        # hop 1 must sample the SAME capped adjacency the slot table was
+        # built from, or walkers step onto pairs with no transition row
+        w1 = Window.partitionBy("src")
+        adj1 = s1.select(
+            "src",
+            (F.row_number().over(w1.orderBy("dst")) - 1).cast("long").alias("idx"),
+            "dst",
+            F.count(F.lit(1)).over(w1).alias("deg"),
         )
     else:
         adj1 = indexed_adjacency(graph)

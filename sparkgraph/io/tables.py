@@ -101,12 +101,22 @@ class TableIO:
         shutil.rmtree(self._dir(name), ignore_errors=True)
 
     def snapshots(self, name: str) -> DataFrame:
-        """Snapshot history (``(version, is_current)``): the SDFS design has
-        no history at all — the table format's snapshot log is the strictly
-        stronger answer. Catalog branch: Iceberg's ``<table>.snapshots``
-        metadata table; fallback: one row per retained ``v=<k>`` directory."""
+        """Snapshot history, SAME ``(version, is_current)`` schema on BOTH
+        branches (the SDFS design has no history at all — the table format's
+        snapshot log is the strictly stronger answer). Catalog branch:
+        Iceberg's ``<table>.snapshots`` metadata table normalized to the
+        contract (``version`` = snapshot_id, ``is_current`` = matches the
+        ``main`` branch ref), so a ``version`` read here is ALWAYS a valid
+        ``rollback`` argument regardless of branch. Fallback: one row per
+        retained ``v=<k>`` directory."""
         if self.catalog:
-            return self.spark.read.table(f"{self.catalog}.{name}.snapshots")
+            t = f"{self.catalog}.{name}"
+            return self.spark.sql(
+                f"SELECT s.snapshot_id AS version, "
+                f"s.snapshot_id = (SELECT r.snapshot_id FROM {t}.refs r "
+                f"WHERE r.name = 'main') AS is_current "
+                f"FROM {t}.snapshots s ORDER BY s.committed_at"
+            )
         cur = self.latest_version(name)
         rows = [(k, k == cur) for k in self.versions(name)]
         return self.spark.createDataFrame(rows, "version long, is_current boolean")
@@ -114,9 +124,16 @@ class TableIO:
     def rollback(self, name: str, version: int) -> None:
         """Roll the table's CURRENT pointer back to an older retained
         snapshot — metadata-only on both branches (snapshots are immutable).
-        Catalog branch: Iceberg's ``rollback_to_snapshot`` procedure;
-        fallback: atomically rewrite the ``_latest`` pointer."""
+        Catalog branch: Iceberg's ``rollback_to_snapshot`` procedure, after
+        validating the snapshot_id actually exists in the table's snapshot
+        log (same no-such-snapshot ValueError as the fallback, instead of a
+        procedure-side failure with an Iceberg stack trace); fallback:
+        atomically rewrite the ``_latest`` pointer. ``version`` means the
+        SAME identifier ``snapshots()`` returned on the SAME branch."""
         if self.catalog:
+            known = {r.version for r in self.snapshots(name).collect()}
+            if version not in known:
+                raise ValueError(f"table {name!r} has no snapshot v={version}")
             parts = self.catalog.split(".", 1)
             ns = parts[1] + "." if len(parts) > 1 else ""
             self.spark.sql(

@@ -32,14 +32,23 @@ _log = logging.getLogger("sparkgraph")
 MAX_FIXPOINT_ITERS = 10_000
 
 
-def warn_unconverged(algorithm: str, supersteps: int, max_iter: int) -> None:
-    """Convergence-guard log line: called by fixpoint loops that exit on the
-    iteration ceiling rather than an empty frontier / zero-change round."""
+def warn_unconverged(
+    algorithm: str,
+    supersteps: int,
+    max_iter: int,
+    knob: str = "max_iter",
+    unit: str = "supersteps",
+) -> None:
+    """Convergence-guard log line: called by fixpoint loops that exit on an
+    iteration ceiling rather than an empty frontier / zero-change round.
+    ``knob``/``unit`` name the ceiling that actually fired, so the line
+    points at the RIGHT lever (e.g. SCC's peel truncates on ``max_rounds``
+    peel rounds, not ``max_iter`` supersteps)."""
     _log.warning(
-        "%s stopped at the max_iter ceiling (%d of %d supersteps) WITHOUT "
-        "reaching its fixpoint — the returned state may be partial; raise "
-        "max_iter or inspect the frontier-decay metrics",
-        algorithm, supersteps, max_iter,
+        "%s stopped at the %s ceiling (%d of %d %s) WITHOUT reaching its "
+        "fixpoint — the returned state may be partial; raise %s or inspect "
+        "the frontier-decay metrics",
+        algorithm, knob, supersteps, max_iter, unit, knob,
     )
 
 

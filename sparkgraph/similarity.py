@@ -277,21 +277,66 @@ def ivf_index(
     return assigned
 
 
+def _ivf_resolve(
+    df: DataFrame, centroids, id_col: str, vec_col: str,
+    allow_assign: bool, caller: str,
+) -> DataFrame:
+    """Resolve the corpus argument of an IVF query to a cluster-keyed table.
+
+    A prebuilt ``ivf_index`` table (has ``cluster``) passes through. A raw
+    corpus RAISES unless ``allow_assign=True`` — per-call assignment costs a
+    full corpus scan + k_lists matmul EVERY query, the exact footgun the
+    build-once index exists to remove."""
+    if "cluster" in df.columns:
+        return df
+    if not allow_assign:
+        raise ValueError(
+            f"{caller}: input has no 'cluster' column (not an ivf_index "
+            "table). Build the index ONCE with ivf_index(...) and query "
+            "that; or pass allow_assign=True to accept a one-off "
+            "full-corpus assignment on THIS call (never do that in a loop)."
+        )
+    return ivf_assign(df, centroids, id_col, vec_col)
+
+
+def ivf_validate_index(index: DataFrame, centroids) -> None:
+    """Cheap sanity check that ``index`` plausibly belongs to ``centroids``:
+    every cluster id must fall in ``range(len(centroids))``. ``cluster`` is
+    the partition column of an ``ivf_index`` parquet table, so the min/max
+    agg prunes to metadata. Catches the silent-wrong-results case of
+    querying an index built from a DIFFERENT (e.g. stale) centroid set with
+    more lists; identical-cardinality retrains remain the caller's
+    responsibility (embed a fingerprint in the index path for that)."""
+    row = index.agg(
+        F.min("cluster").alias("lo"), F.max("cluster").alias("hi")
+    ).collect()[0]
+    k_lists = len(centroids)
+    if row.lo is None:
+        return  # empty index is vacuously consistent
+    if row.lo < 0 or row.hi >= k_lists:
+        raise ValueError(
+            f"index cluster ids span [{row.lo}, {row.hi}] but centroids has "
+            f"{k_lists} lists — the index was built from different centroids"
+        )
+
+
 def ivf_topk(
     df: DataFrame, query: list[float], centroids, k: int = 10, nprobe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    allow_assign: bool = False, validate: bool = False,
 ) -> DataFrame:
     """IVF search: rank centroids by cosine to the query, scan only the
     ``nprobe`` nearest inverted lists, exact-cosine top-k within them.
     Cost ≈ (nprobe/k_lists)·corpus instead of the full brute-force scan;
     recall rises with nprobe (nprobe = #lists ≡ exact).
 
-    ``df`` SHOULD be a prebuilt index from ``ivf_index`` (it has a
-    ``cluster`` column, which is trusted as-is — zero assignment work per
-    query, and partition pruning if the index was written partitionBy). A
-    raw corpus without ``cluster`` is accepted for convenience but is
-    assigned ON EVERY CALL — a one-query cost k_lists× the brute-force
-    scan; never do that in a loop."""
+    ``df`` MUST be a prebuilt index from ``ivf_index`` (it has a ``cluster``
+    column — zero assignment work per query, and partition pruning if the
+    index was written partitionBy). A raw corpus without ``cluster`` RAISES
+    unless ``allow_assign=True`` (per-call assignment is a one-query cost
+    k_lists× the brute-force scan). ``validate=True`` runs
+    ``ivf_validate_index`` first (one metadata-cheap min/max agg) to catch
+    an index built from a different centroid set."""
     import numpy as np
 
     cents = np.asarray(centroids, dtype=np.float64)
@@ -299,9 +344,9 @@ def ivf_topk(
     q = np.asarray(query, dtype=np.float64)
     q = q / np.linalg.norm(q)
     probe = np.argsort(-(cents @ q), kind="stable")[:nprobe].tolist()
-    assigned = (
-        df if "cluster" in df.columns else ivf_assign(df, centroids, id_col, vec_col)
-    )
+    assigned = _ivf_resolve(df, centroids, id_col, vec_col, allow_assign, "ivf_topk")
+    if validate and "cluster" in df.columns:
+        ivf_validate_index(df, centroids)
     bucket = assigned.filter(F.col("cluster").isin([int(p) for p in probe]))
     return cosine_topk(bucket, query, k, id_col, vec_col)
 
@@ -343,7 +388,8 @@ def ivf_probe_lists(
 def ivf_topk_batch(
     index: DataFrame, queries: DataFrame, centroids, k: int = 10,
     nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
-    query_id_col: str = "query_id",
+    query_id_col: str = "query_id", allow_assign: bool = False,
+    validate: bool = False,
 ) -> DataFrame:
     """Batch ANN: answer MANY queries in ONE job over a PREBUILT
     ``ivf_index`` table — the realistic serving shape (ANN queries arrive in
@@ -357,11 +403,11 @@ def ivf_topk_batch(
     top-k window over candidates only (never the corpus)."""
     from pyspark.sql import Window
 
-    assigned = (
-        index
-        if "cluster" in index.columns
-        else ivf_assign(index, centroids, id_col, vec_col)
+    assigned = _ivf_resolve(
+        index, centroids, id_col, vec_col, allow_assign, "ivf_topk_batch"
     )
+    if validate and "cluster" in index.columns:
+        ivf_validate_index(index, centroids)
     probes = ivf_probe_lists(queries, centroids, query_id_col, vec_col, nprobe)
     qv = queries.select(
         query_id_col,

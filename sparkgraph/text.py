@@ -513,7 +513,12 @@ def tfidf_top_terms(
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(id_col).distinct().count()
-    scored = tf.join(F.broadcast(dfreq), "term").select(
+    # No explicit broadcast hint on dfreq: the distinct-term table scales
+    # with the corpus vocabulary (typos/URLs/hashes push it to 1e8-1e9 rows
+    # on a web corpus — far past the 8 GB broadcast cap). AQE broadcasts it
+    # when it measures small and shuffle-joins on "term" when it doesn't;
+    # both sides of that join are already term-keyed aggregates.
+    scored = tf.join(dfreq, "term").select(
         F.col(id_col),
         "term",
         F.round(
@@ -651,7 +656,10 @@ def unigram_logprob(
     ).collect()[0]
     n_total, n_vocab = int(totals["n_total"] or 0), int(totals["n_vocab"] or 0)
     denom = float(n_total + n_vocab)  # add-one smoothing over seen vocab
-    scored = toks.join(F.broadcast(counts), "term").select(
+    # No broadcast hint: ``counts`` is vocabulary-sized (unbounded on a web
+    # corpus — see tfidf_top_terms note). AQE picks broadcast vs shuffle by
+    # the measured size.
+    scored = toks.join(counts, "term").select(
         "id", (-F.log((F.col("c") + 1) / F.lit(denom))).alias("nlp")
     )
     agg = scored.groupBy("id").agg(

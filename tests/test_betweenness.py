@@ -55,3 +55,41 @@ def test_multiplicity_of_shortest_paths(spark):
     want = betweenness_oracle(pairs, normalize=False)
     assert _close(got, want)
     assert math.isclose(got[1], 0.5) and math.isclose(got[2], 0.5)
+
+
+def test_sigma_partition_math_pins_measured_envelope():
+    """Unit-pins the partition derivation (no Spark needed): the measured
+    138 M-sym-edge OOM→fix pair (BENCH.md round 4 — 32 partitions OOM'd,
+    96 completed) must fall out of the default math, and small graphs must
+    keep the session default untouched."""
+    from sparkgraph.algorithms.betweenness import (
+        SIGMA_ROWS_PER_PARTITION,
+        sigma_shuffle_partitions,
+    )
+
+    assert SIGMA_ROWS_PER_PARTITION == 100_000
+    # the LiveJournal config: k=2 pivots x 4.8M vertices -> 96 partitions
+    assert sigma_shuffle_partitions(4_800_000, 2, 32) == 96
+    # never below the session default (small/gate graphs: plans unchanged)
+    assert sigma_shuffle_partitions(3_000, 8, 32) == 32
+    assert sigma_shuffle_partitions(3_000, 8, 200) == 200
+    # scales linearly in both k and n
+    assert sigma_shuffle_partitions(4_800_000, 8, 32) == 384
+    assert sigma_shuffle_partitions(48_000_000, 2, 32) == 960
+    # degenerate inputs stay sane
+    assert sigma_shuffle_partitions(0, 0, 16) == 16
+
+
+def test_sized_aggregation_path_is_value_identical(spark):
+    """Force the derived count ABOVE the session default (tiny
+    rows_per_partition) so the explicit repartition-before-groupBy path
+    executes, and pin its values against the default-path run — the
+    envelope knob must never change results, only the physical plan."""
+    rng = random.Random(11)
+    n = 24
+    pairs = list({(rng.randrange(n), rng.randrange(n)) for _ in range(60)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    pivots = [0, 1, 2]
+    base = _run(spark, pairs, pivots=pivots)
+    sized = _run(spark, pairs, pivots=pivots, rows_per_partition=2)
+    assert _close(sized, base, tol=1e-9)

@@ -199,3 +199,22 @@ def test_mis_and_coloring_survive_xxhash64_range_ids(spark):
         if s != d:
             assert col[s] != col[d], (s, d)
     g.unpersist()
+
+
+def test_coloring_is_total_over_isolated_and_selfloop_vertices(spark):
+    """Vertices that vanish from the simple undirected view (self-loop-only
+    or appearing only in duplicate self-edges) must still get a color row
+    (0 — proper for an isolated vertex): the state is total over
+    graph.vertices, so downstream joins never see nulls."""
+    from sparkgraph.algorithms.coloring import greedy_coloring
+    from sparkgraph.graph import Graph
+    from sparkgraph.io.edgelist import edges_from_pairs
+
+    pairs = [(1, 2), (2, 3), (7, 7), (9, 9)]  # 7 and 9 are self-loop-only
+    g = Graph(edges_from_pairs(spark, pairs), num_partitions=2)
+    res = greedy_coloring(g, mixer="affine")
+    got = {r.id: r.color for r in res.state.collect()}
+    assert set(got) == {1, 2, 3, 7, 9}
+    assert got[7] == 0 and got[9] == 0
+    assert got[1] != got[2] and got[2] != got[3]
+    g.unpersist()

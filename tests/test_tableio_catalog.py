@@ -41,13 +41,33 @@ class _FakeReader:
         return mock.sentinel.table_df
 
 
+class _FakeRow:
+    def __init__(self, version):
+        self.version = version
+
+
+class _FakeSqlDF:
+    """Stand-in for spark.sql results: SELECT statements (the normalized
+    snapshots query) collect to a fixed snapshot log; CALL/DDL return
+    nothing collectable."""
+
+    def __init__(self, stmt, versions):
+        self.stmt = stmt
+        self.versions = versions
+
+    def collect(self):
+        return [_FakeRow(v) for v in self.versions]
+
+
 class _FakeSpark:
-    def __init__(self, log):
+    def __init__(self, log, snapshot_versions=(41, 42)):
         self.log = log
         self.read = _FakeReader(log)
+        self.snapshot_versions = snapshot_versions
 
     def sql(self, stmt):
         self.log.append(("sql", stmt))
+        return _FakeSqlDF(stmt, self.snapshot_versions)
 
 
 @pytest.fixture()
@@ -97,19 +117,36 @@ def test_catalog_branch_never_touches_local_layout(io_and_log, tmp_path):
     assert os.listdir(tmp_path) == []  # no v=/_latest fallback artifacts
 
 
-def test_catalog_snapshots_reads_metadata_table(io_and_log):
+def test_catalog_snapshots_normalized_to_contract(io_and_log):
+    """The catalog branch must answer the SAME (version, is_current) schema
+    as the fallback: snapshot_id aliased to version, is_current derived from
+    the main branch ref — not Iceberg's raw snapshots schema."""
     io, log = io_and_log
     df = io.snapshots("edges")
-    assert df is mock.sentinel.table_df
-    assert log == [("read.table", "ice.db.edges.snapshots")]
+    assert isinstance(df, _FakeSqlDF)
+    stmt = log[-1][1]
+    assert "s.snapshot_id AS version" in stmt
+    assert "FROM ice.db.edges.snapshots s" in stmt
+    assert "ice.db.edges.refs" in stmt and "is_current" in stmt
 
 
-def test_catalog_rollback_calls_procedure(io_and_log):
+def test_catalog_rollback_validates_then_calls_procedure(io_and_log):
     io, log = io_and_log
     io.rollback("edges", 42)
-    assert log == [
-        ("sql", "CALL ice.system.rollback_to_snapshot('db.edges', 42)")
-    ]
+    # first statement: the snapshots() existence check; last: the procedure
+    assert log[0][0] == "sql" and "snapshots" in log[0][1]
+    assert log[-1] == (
+        "sql", "CALL ice.system.rollback_to_snapshot('db.edges', 42)"
+    )
+
+
+def test_catalog_rollback_unknown_snapshot_raises(io_and_log):
+    io, log = io_and_log
+    with pytest.raises(ValueError, match="no snapshot"):
+        io.rollback("edges", 999)
+    assert not any(
+        e[0] == "sql" and "rollback_to_snapshot" in e[1] for e in log
+    )
 
 
 def test_parquet_branch_snapshots_and_rollback(spark, tmp_path):

@@ -151,12 +151,12 @@ def test_ivf_topk_matches_brute_force(vectors):
     brute = [(r.vec_id, r.cosine) for r in cosine_topk(df, q, k=5).collect()]
     exact_all = [
         (r.vec_id, r.cosine)
-        for r in ivf_topk(df, q, cents, k=5, nprobe=8).collect()
+        for r in ivf_topk(df, q, cents, k=5, nprobe=8, allow_assign=True).collect()
     ]
     assert exact_all == brute  # nprobe = #lists degenerates to exact search
     probed = [
         (r.vec_id, r.cosine)
-        for r in ivf_topk(df, q, cents, k=5, nprobe=3).collect()
+        for r in ivf_topk(df, q, cents, k=5, nprobe=3, allow_assign=True).collect()
     ]
     # the query's own vector and its planted near neighbor share a list with
     # the query — they must survive any nprobe >= 1
@@ -180,7 +180,7 @@ def test_ivf_prebuilt_index_matches_on_the_fly(vectors, tmp_path):
     df, vecs = vectors
     q = [float(x) for x in vecs[0]]
     cents = ivf_train(df, k=8, iters=2)
-    fly = [(r.vec_id, r.cosine) for r in ivf_topk(df, q, cents, k=5, nprobe=3).collect()]
+    fly = [(r.vec_id, r.cosine) for r in ivf_topk(df, q, cents, k=5, nprobe=3, allow_assign=True).collect()]
 
     idx_mem = ivf_index(df, cents)
     assert [(r.vec_id, r.cosine)
@@ -368,3 +368,45 @@ def test_feature_propagation_matches_python(spark):
     for k, (num, w) in raw.items():
         assert got[k] == round(num / (w * 1000.0), 6), k
     g.unpersist()
+
+
+def test_ivf_raw_corpus_raises_without_allow_assign(vectors):
+    """The per-call full-corpus assignment footgun is now unfireable by
+    accident: a cluster-less input raises unless allow_assign=True."""
+    import pytest as _pytest
+
+    from sparkgraph.similarity import ivf_topk, ivf_topk_batch, ivf_train
+
+    df, vecs = vectors
+    q = [float(x) for x in vecs[0]]
+    cents = ivf_train(df, k=4, iters=1)
+    with _pytest.raises(ValueError, match="allow_assign"):
+        ivf_topk(df, q, cents, k=3, nprobe=2)
+    queries = df.limit(2).selectExpr("vec_id AS query_id", "embedding")
+    with _pytest.raises(ValueError, match="allow_assign"):
+        ivf_topk_batch(df, queries, cents, k=3, nprobe=2)
+
+
+def test_ivf_validate_index_catches_foreign_centroids(vectors):
+    """validate=True cross-checks index cluster ids against the centroid
+    count — an index built from a LARGER (stale) centroid set is rejected
+    instead of silently probing the wrong lists."""
+    import pytest as _pytest
+
+    from sparkgraph.similarity import (
+        ivf_index,
+        ivf_topk,
+        ivf_train,
+        ivf_validate_index,
+    )
+
+    df, vecs = vectors
+    q = [float(x) for x in vecs[0]]
+    cents8 = ivf_train(df, k=8, iters=2)
+    index8 = ivf_index(df, cents8)
+    ivf_validate_index(index8, cents8)  # consistent: no raise
+    res = ivf_topk(index8, q, cents8, k=3, nprobe=8, validate=True)
+    assert len(res.collect()) == 3
+    cents4 = cents8[:4]  # pretend a retrain shrank the list count
+    with _pytest.raises(ValueError, match="different centroids"):
+        ivf_topk(index8, q, cents4, k=3, nprobe=2, validate=True)

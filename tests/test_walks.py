@@ -246,13 +246,56 @@ def test_node2vec_unit_pq_reduces_to_first_order(spark):
     assert n2v == first
 
 
-def test_node2vec_max_degree_guard(spark):
-    import pytest
-
+def test_node2vec_max_degree_caps_hubs(spark):
+    """Graphs whose max degree exceeds ``max_degree`` no longer raise: every
+    hub keeps its max_degree smallest-id neighbors (unweighted tie order)
+    and the walks replay EXACTLY on that capped graph — hop 1, the slot
+    table, and the in-neighborhood test all see the same capped adjacency."""
     from sparkgraph.algorithms.walks import node2vec_walks
 
-    with pytest.raises(ValueError, match="max_degree"):
-        node2vec_walks(_graph(spark, GRAPH_MAIN), 2, max_degree=2)
+    cap, walk_len, p, q = 2, 5, 2, 3
+
+    def _capped_oracle():
+        from fractions import Fraction
+        from math import lcm
+
+        a_ret, a_out = 1 / Fraction(str(p)), 1 / Fraction(str(q))
+        scale = lcm(a_ret.denominator, a_out.denominator)
+        w_ret, w_in, w_out = int(a_ret * scale), int(scale), int(a_out * scale)
+        adj = {v: ns[:cap] for v, ns in _adj_oracle(GRAPH_MAIN).items()}
+        trace = []
+        for start in adj:
+            trace.append((start, 0, start))
+            ns = adj[start]
+            prev, cur = start, ns[_affine(start, 1, start) % len(ns)]
+            trace.append((start, 1, cur))
+            for s in range(2, walk_len + 1):
+                slots = []
+                for x in adj[cur]:
+                    w = w_ret if x == prev else (w_in if x in adj[prev] else w_out)
+                    slots.extend([x] * w)
+                nxt = slots[_affine(start, s, cur) % len(slots)]
+                prev, cur = cur, nxt
+                trace.append((start, s, cur))
+        return sorted(trace)
+
+    got = sorted(
+        (r.walk_id, r.step, r.vertex)
+        for r in node2vec_walks(
+            _graph(spark, GRAPH_MAIN), walk_len, p=p, q=q,
+            mixer="affine", max_degree=cap,
+        ).collect()
+    )
+    assert got == _capped_oracle()
+    # every hop is an edge of the CAPPED graph (strictly fewer choices than
+    # the full graph for the degree-3+ vertices)
+    adj = {v: set(ns[:cap]) for v, ns in _adj_oracle(GRAPH_MAIN).items()}
+    by_walk: dict[int, dict[int, int]] = {}
+    for w, s, v in got:
+        by_walk.setdefault(w, {})[s] = v
+    for w, steps in by_walk.items():
+        for s in range(1, walk_len + 1):
+            assert steps[s] in adj[steps[s - 1]]
 
 
 def _node2vec_weighted_oracle(wpairs, walk_len, p, q, mix):
