@@ -2841,6 +2841,191 @@ def _landmarks_sql(k: int, depth: int) -> str:
     return head + f"\nSELECT id, pvt AS landmark, depth AS dist FROM s{depth}"
 
 
+# -- new in round 5 ---------------------------------------------------------
+
+BM25_QUERY = ["spark", "join", "filter"]
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (text.bm25_scores) for a fixed bag-of-terms query over the
+    documents table; every doc scored (0.0 when no term matches)."""
+    from sparkgraph.text import bm25_scores
+
+    return bm25_scores(_read(spark, sf_dir, "documents"), BM25_QUERY).select(
+        F.col("id").alias("doc_id"), "score"
+    )
+
+
+def _bm25_sql() -> str:
+    from sparkgraph.text import BM25_B, BM25_K1
+
+    terms = ", ".join(f"'{t}'" for t in sorted(BM25_QUERY))
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id AS id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+lens AS MATERIALIZED (SELECT id, COUNT(*) AS dl FROM toks GROUP BY id),
+stats AS MATERIALIZED (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens),
+tf AS MATERIALIZED (
+  SELECT id, term, COUNT(*) AS tf FROM toks WHERE term IN ({terms}) GROUP BY 1, 2
+),
+dfreq AS MATERIALIZED (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.id,
+         LN(1.0 + (CAST(stats.n AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (tf.tf * ({BM25_K1} + 1.0))
+         / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * lens.dl / stats.avgdl)) AS s
+  FROM tf JOIN dfreq USING (term) JOIN lens USING (id) CROSS JOIN stats
+),
+agg AS (SELECT id, ROUND(SUM(s), 6) AS score FROM scored GROUP BY id)
+SELECT d.doc_id, COALESCE(agg.score, 0.0) AS score
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN agg ON agg.id = d.doc_id"""
+
+
+def _q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard join (text.jaccard_prefix_pairs) —
+    same output contract as ngram_jaccard_documents, different (lossless,
+    scale-safe) join strategy, so it shares _JACCARD_SQL as its oracle: a
+    value match proves the prefix filter dropped nothing."""
+    from sparkgraph.text import jaccard_prefix_pairs
+
+    return jaccard_prefix_pairs(_read(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _q_twohop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-hop neighborhood sizes (structure.two_hop_sizes) on the
+    parts co-order graph."""
+    from sparkgraph.algorithms.structure import two_hop_sizes
+
+    return two_hop_sizes(Graph(part_edges(spark, sf_dir)))
+
+
+_TWOHOP_SQL = (
+    "WITH " + _PART_CTE.strip() + """,
+hop2 AS (SELECT a.src AS id, b.dst AS w FROM sym a JOIN sym b ON a.dst = b.src),
+reach AS (
+  SELECT DISTINCT id, w FROM (
+    SELECT src AS id, dst AS w FROM sym
+    UNION ALL
+    SELECT id, w FROM hop2
+  ) t WHERE id <> w
+)
+SELECT deg.id, deg.deg AS n_1hop, r.n_2hop
+FROM deg JOIN (SELECT id, COUNT(*) AS n_2hop FROM reach GROUP BY id) r USING (id)"""
+)
+
+
+# second affine map for the condensation gate: the 1-map scc gate graph is
+# a PERMUTATION of Z_500 (gcd(49, 500) = 1 ⇒ disjoint cycles ⇒ every edge
+# intra-SCC ⇒ empty condensation — a vacuous gate row). Adding i → 5i+3
+# (gcd 5 ∤ 1) yields 44 SCCs of sizes 4–20 plus 83 condensation edges.
+SCC_MUL2 = 5
+SCC_ADD2 = 3
+
+
+def _q_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG (scc.condensation) over the 2-map affine parts
+    digraph — runs the SCC fixpoint, then one relational pass."""
+    from sparkgraph.algorithms.scc import condensation, strongly_connected_components
+
+    l = _read(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < SCC_MOD)
+    k = F.col("l_partkey")
+    edges = (
+        l.select(
+            k.alias("src"), ((k * SCC_MUL + SCC_ADD) % SCC_MOD).alias("dst")
+        )
+        .unionByName(
+            l.select(
+                k.alias("src"), ((k * SCC_MUL2 + SCC_ADD2) % SCC_MOD).alias("dst")
+            )
+        )
+        .distinct()
+    )
+    res = strongly_connected_components(edges)
+    return condensation(edges, res.state)
+
+
+_SCC_CONDENSATION_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT l_partkey AS src, (l_partkey*{SCC_MUL}+{SCC_ADD})%{SCC_MOD} AS dst
+    FROM lineitem WHERE l_partkey < {SCC_MOD}
+    UNION ALL
+    SELECT l_partkey AS src, (l_partkey*{SCC_MUL2}+{SCC_ADD2})%{SCC_MOD} AS dst
+    FROM lineitem WHERE l_partkey < {SCC_MOD}
+  ) t
+),
+reach(s, d) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN edges e ON r.d = e.src
+),
+mutual AS (SELECT a.s AS u, a.d AS v FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s),
+verts AS (SELECT DISTINCT src AS id FROM (SELECT src FROM edges UNION SELECT dst FROM edges) t(src)),
+labels AS (
+  SELECT v.id, LEAST(v.id, COALESCE(MIN(m.v), v.id)) AS scc
+  FROM verts v LEFT JOIN mutual m ON v.id = m.u GROUP BY v.id
+)
+SELECT ls.scc AS scc_src, ld.scc AS scc_dst, COUNT(*) AS n_edges
+FROM edges e JOIN labels ls ON e.src = ls.id JOIN labels ld ON e.dst = ld.id
+WHERE ls.scc <> ld.scc
+GROUP BY 1, 2"""
+
+
+# MST gate graph: 5 disjoint 72-cycles (affine step 25 over part keys < 360;
+# gcd(25, 360) = 5 ⇒ component of vertex i is i % 5 in CLOSED FORM) with a
+# deterministic weight per canonical edge. The ENGINE runs generic multi-round
+# Borůvka (~7 rounds of halving + pointer jumping); the ORACLE exploits the
+# known structure — the MSF of a cycle under the strict (weight, u, v) total
+# order is the cycle minus its maximum edge. Random-graph parity vs a pure
+# Kruskal oracle is pytest-pinned (tests/test_mst.py).
+MST_MOD = 360
+MST_STEP = 25
+MST_G = 5  # gcd(MST_STEP, MST_MOD)
+MST_WA, MST_WB, MST_WMOD = 31, 17, 101
+
+
+def _q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraph.algorithms.mst import minimum_spanning_forest
+
+    p = _read(spark, sf_dir, "part").filter(F.col("p_partkey") < MST_MOD)
+    e = p.select(
+        F.col("p_partkey").alias("a"),
+        ((F.col("p_partkey") + MST_STEP) % MST_MOD).alias("b"),
+    )
+    canon = e.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    weighted = canon.select(
+        F.col("u").alias("src"),
+        F.col("v").alias("dst"),
+        ((F.col("u") * MST_WA + F.col("v") * MST_WB) % MST_WMOD + 1)
+        .cast("double")
+        .alias("weight"),
+    )
+    return minimum_spanning_forest(weighted).state
+
+
+_MST_SQL = f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(p_partkey, (p_partkey + {MST_STEP}) % {MST_MOD}) AS u,
+                  GREATEST(p_partkey, (p_partkey + {MST_STEP}) % {MST_MOD}) AS v
+  FROM part WHERE p_partkey < {MST_MOD}
+),
+w AS MATERIALIZED (
+  SELECT u, v, CAST((u*{MST_WA} + v*{MST_WB}) % {MST_WMOD} + 1 AS DOUBLE) AS weight,
+         u % {MST_G} AS c
+  FROM e
+),
+ranked AS (
+  SELECT u, v, weight,
+         ROW_NUMBER() OVER (PARTITION BY c ORDER BY weight DESC, u DESC, v DESC) AS rn
+  FROM w
+)
+SELECT u, v, weight FROM ranked WHERE rn > 1"""
+
+
 # -- consolidated scalar-metrics row (round 5, r4 verdict #8) ---------------
 # The eight single-row scalar gate queries (reciprocity, butterflies,
 # 4-cliques, global clustering, assortativity, CC-modularity, NumVertices,
@@ -2965,6 +3150,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codegraph_pagerank": _q_codegraph_pagerank,
         "codegraph_repo_stats": _q_codegraph_repo_stats,
         "ktruss_parts": _q_truss,
+        # -- new in r05 ----------------------------------------------------
+        "mst_parts_cycles": _q_mst,
+        "bm25_documents": _q_bm25,
+        "jaccard_prefix_documents": _q_jaccard_prefix,
+        "twohop_parts": _q_twohop,
+        "scc_condensation_parts_affine": _q_scc_condensation,
         # -- padding to the 50-cap: green r04, re-promoted -----------------
         "fingerprint_documents": _q_fingerprint,
         "louvain_bipartite": _q_louvain,
@@ -2973,12 +3164,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_parts_clique": _q_densest,
         "local_clustering_suppliers": _q_local_clustering,
         "projection_suppliers": _q_projection,
+        # -- tail: green r04, unchanged; rotate back into the head in r06 --
         "egonet_bipartite": _q_egonet,
         "linkpred_parts": _q_linkpred_parts,
         "hits_bipartite": _q_hits,
         "ppr_bipartite": _q_ppr,
         "cc_star_bipartite": _q_cc_star,
-        # -- tail: green r04, unchanged; rotate back into the head in r06 --
         "eccentricity_bipartite": _q_eccentricity,
         "closeness_bipartite": _q_closeness,
         "kcore_parts": _q_kcore_parts,
@@ -3011,6 +3202,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "graph_metrics_scalars": _graph_metrics_sql(),
+        "mst_parts_cycles": _MST_SQL,
+        "bm25_documents": _bm25_sql(),
+        "jaccard_prefix_documents": _JACCARD_SQL,
+        "twohop_parts": _TWOHOP_SQL,
+        "scc_condensation_parts_affine": _SCC_CONDENSATION_SQL,
         "pagerank_bipartite": _pagerank_sql(PR_ITERS),
         "pagerank_tol_bipartite": _pagerank_conv_sql(PR_TOL_STEPS_SF001),
         "pagerank_weighted_bipartite": _pagerank_weighted_sql(PR_ITERS),

@@ -184,3 +184,32 @@ def strongly_connected_components(
                 "scc", rounds, max_rounds, knob="max_rounds", unit="peel rounds"
             )
     return loop.finish(state, step, converged, result=state)
+
+
+def condensation(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Condensation DAG of a directed graph: one row ``(scc_src, scc_dst,
+    n_edges)`` per ordered pair of DISTINCT strongly connected components
+    joined by at least one original edge, with the collapsed-edge count.
+
+    ``labels`` is the ``(id, scc)`` state from
+    ``strongly_connected_components`` (NULL labels from a truncated peel are
+    dropped — the condensation is only defined over resolved vertices). The
+    result is acyclic by construction (an scc_src→scc_dst→scc_src cycle
+    would merge the two components).
+
+    Scale shape: two hash joins of the E-sized edge table against the
+    V-sized label table (state side shuffle-hashed), one map-side-combined
+    count — no per-vertex iteration; runs AFTER the SCC fixpoint as a single
+    relational pass. Link-graph reading: the module DAG over dependency
+    cycles — which clusters of mutually-importing files feed which."""
+    lab = labels.filter(F.col("scc").isNotNull())
+    e = edges.select("src", "dst").distinct()
+    ls = lab.select(F.col("id").alias("src"), F.col("scc").alias("scc_src"))
+    ld = lab.select(F.col("id").alias("dst"), F.col("scc").alias("scc_dst"))
+    return (
+        e.join(ls.hint("shuffle_hash"), "src")
+        .join(ld.hint("shuffle_hash"), "dst")
+        .filter(F.col("scc_src") != F.col("scc_dst"))
+        .groupBy("scc_src", "scc_dst")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )

@@ -225,3 +225,43 @@ def modularity(graph: Graph, labels: DataFrame) -> DataFrame:
         .agg(F.round(F.sum("q"), 9).alias("modularity"))
     )
     return row
+
+
+def two_hop_sizes(graph: Graph, max_degree: int | None = None) -> DataFrame:
+    """Exact 2-hop neighborhood sizes ``(id, n_1hop, n_2hop)`` on the simple
+    undirected graph: n_2hop = |{w ≠ v : dist(v, w) ≤ 2}| — the
+    friends-of-friends count, the standard reach/influence feature and the
+    audience-estimation primitive.
+
+    Scale shape: ONE self-join of the symmetrized adjacency on the middle
+    vertex (Σ deg² rows before the distinct — the irreducible cost of an
+    exact answer), then a distinct + count per source, map-side combined.
+    ``max_degree`` optionally drops middle vertices above the cap before the
+    join (the hubs are exactly where Σ deg² explodes); capped results are a
+    documented UNDERCOUNT through those hubs — at web scale prefer the cap
+    or an HLL sketch over the exact path. No driver state, no windows."""
+    sym = _simple_sym(graph)  # (u, v), both directions
+    mid = sym
+    if max_degree is not None:
+        ok = (
+            sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") <= max_degree)
+            .select("u")
+        )
+        mid = sym.join(ok, "u", "left_semi")
+    # hop2 via the middle: v -> m -> w (w may equal v or a 1-hop nbr; the
+    # union + distinct collapses those)
+    hop2 = sym.select(F.col("u").alias("id"), F.col("v").alias("m")).join(
+        mid.select(F.col("u").alias("m"), F.col("v").alias("w")), "m"
+    ).select("id", "w")
+    reach = (
+        sym.select(F.col("u").alias("id"), F.col("v").alias("w"))
+        .unionByName(hop2)
+        .filter(F.col("id") != F.col("w"))
+        .distinct()
+    )
+    n1 = sym.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).alias("n_1hop")
+    )
+    n2 = reach.groupBy("id").agg(F.count(F.lit(1)).alias("n_2hop"))
+    return n1.join(n2, "id").select("id", "n_1hop", "n_2hop")

@@ -1006,3 +1006,144 @@ def streaming_neardup_pairs(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via PREFIX FILTERING (the
+    AllPairs / PPJoin family — Bayardo et al. 2007, Xiao et al. 2008):
+    identical output contract to ``ngram_jaccard_pairs`` (a < b, jaccard ≥
+    threshold, round 6) but candidates come only from shared PREFIX
+    elements, not every shared shingle.
+
+    Why it scales: order each document's shingle set by GLOBAL frequency
+    (rarest first, shingle-string tie-break — deterministic). Two sets with
+    Jaccard ≥ t must overlap in ≥ ⌈t·|s|⌉ elements, so if a set's first
+    ``|s| − ⌈t·|s|⌉ + 1`` elements (its prefix) share nothing with the other
+    set's prefix, the pair can be skipped — LOSSLESS, unlike MinHash
+    banding. Candidate volume is Σ over PREFIX shingles of docs², and
+    prefixes are dominated by RARE shingles (tiny buckets) — the frequent
+    shingles that explode ``ngram_jaccard_pairs``'s join land at the back of
+    the ordering and never generate candidates. Verification then computes
+    the exact intersection for candidate pairs only.
+
+    100 TB shape: one shingle-frequency agg, one window per doc (partitioned
+    by id), one equi-join on prefix shingles, one verify join — all
+    shuffle-keyed, no all-pairs stage. For adversarial corpora where even
+    prefixes collide (near-identical boilerplate) fall back to MinHash-LSH
+    (approximate) or dedup the boilerplate first."""
+    from pyspark.sql import Window
+
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("gf"))
+    win = Window.partitionBy("id").orderBy(F.asc("gf"), F.asc("shingle"))
+    ranked = (
+        sh.join(freq, "shingle")
+        .select("id", "shingle", F.row_number().over(win).alias("pos"))
+        .join(sizes, "id")
+    )
+    # prefix length |s| - ceil(t*|s|) + 1
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("id", "shingle")
+    cand = (
+        prefix.select(F.col("id").alias("a"), "shingle")
+        .join(prefix.select(F.col("id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("id").alias("a"), "shingle"), "a")
+        .join(sh.select(F.col("id").alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Okapi BM25 retrieval scores ``(id, score)`` of every document for a
+    bag-of-terms query (the classic ranking function; Robertson & Zaragoza
+    2009). idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (Lucene's
+    non-negative variant); score = Σ_t idf·tf·(k1+1)/(tf + k1·(1−b+b·len/avg)).
+
+    100 TB shape: tokenize once; the per-term stats are FILTERED to the
+    query's terms before any aggregation (a query touches |q| posting
+    aggregates, not the vocabulary), so df/tf tables are |q|-bounded and the
+    final join is a broadcast of |q| rows by construction — no
+    vocabulary-sized table anywhere (contrast tfidf_top_terms, which is
+    corpus-wide by definition). Docs matching no term score 0.0."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TFIDF_TOKEN_RE), 0)
+        ).alias("term"),
+    )
+    lens = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+    qt = toks.filter(F.col("term").isin(terms))
+    tf = qt.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")  # |q| rows — bounded, safe hint
+        .join(lens, "id")
+        .select(
+            "id",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+                )
+            ).alias("s"),
+        )
+        .groupBy("id")
+        .agg(F.round(F.sum("s"), 6).alias("score"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id")).distinct()
+        .join(scored, "id", "left")
+        .select("id", F.coalesce("score", F.lit(0.0)).alias("score"))
+    )

@@ -79,3 +79,50 @@ def test_random_digraph_matches_tarjan(spark, seed):
     got, res = _run(spark, pairs)
     assert got == scc_oracle(pairs)
     assert res.converged
+
+
+def test_condensation_matches_label_join_and_is_acyclic(spark):
+    import random
+
+    from sparkgraph.algorithms.scc import condensation, strongly_connected_components
+
+    rng = random.Random(23)
+    n = 30
+    pairs = list({(rng.randrange(n), rng.randrange(n)) for _ in range(90)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    res = strongly_connected_components(edges)
+    assert res.converged
+    labels = {r.id: r.scc for r in res.state.collect()}
+    got = sorted(
+        (r.scc_src, r.scc_dst, r.n_edges)
+        for r in condensation(edges, res.state).collect()
+    )
+    # python oracle: group the distinct edge list by (scc, scc)
+    from collections import Counter
+
+    cnt = Counter(
+        (labels[a], labels[b])
+        for a, b in set(pairs)
+        if labels[a] != labels[b]
+    )
+    want = sorted((a, b, c) for (a, b), c in cnt.items())
+    assert got == want
+    # acyclic: DFS over the condensation DAG finds no back edge
+    adj = {}
+    for a, b, _ in got:
+        adj.setdefault(a, []).append(b)
+    seen, done = set(), set()
+
+    def dfs(v, stack):
+        seen.add(v)
+        stack.add(v)
+        for w in adj.get(v, []):
+            assert w not in stack, (v, w)  # cycle => SCC was wrong
+            if w not in seen:
+                dfs(w, stack)
+        stack.discard(v)
+
+    for v in list(adj):
+        if v not in seen:
+            dfs(v, set())

@@ -148,3 +148,40 @@ def test_modularity_of_components_matches_oracle(spark):
     one = labels.select("id", F.lit(0).alias("label"))
     assert abs(modularity(g, one).collect()[0]["modularity"]) < 1e-12
     g.unpersist()
+
+
+def test_two_hop_sizes_match_bfs_oracle(spark):
+    import random
+
+    from sparkgraph.algorithms.structure import two_hop_sizes
+
+    rng = random.Random(31)
+    n = 40
+    pairs = list({(rng.randrange(n), rng.randrange(n)) for _ in range(100)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    g = Graph(edges_from_pairs(spark, pairs), num_partitions=4)
+    got = {r.id: (r.n_1hop, r.n_2hop) for r in two_hop_sizes(g).collect()}
+    adj = _adj(pairs)
+    for v, nbrs in adj.items():
+        ball = set(nbrs)
+        for m in nbrs:
+            ball |= set(adj[m])
+        ball.discard(v)
+        assert got[v] == (len(nbrs), len(ball)), v
+    assert set(got) == set(adj)
+    g.unpersist()
+
+
+def test_two_hop_max_degree_cap_undercounts_through_hubs_only(spark):
+    from sparkgraph.algorithms.structure import two_hop_sizes
+
+    # star: center 0 with 6 leaves, plus a path 1-7-8. Capping middle
+    # vertices at degree <= 2 removes ONLY paths through the center.
+    pairs = [(0, i) for i in range(1, 7)] + [(1, 7), (7, 8)]
+    g = Graph(edges_from_pairs(spark, pairs), num_partitions=2)
+    exact = {r.id: r.n_2hop for r in two_hop_sizes(g).collect()}
+    capped = {r.id: r.n_2hop for r in two_hop_sizes(g, max_degree=2).collect()}
+    assert exact[1] == 8  # {0, 7} direct + leaves 2..6 via center + 8 via 7
+    assert capped[1] == 3  # {0, 7, 8}: center-mediated hops are gone
+    assert capped[8] == exact[8] == 2  # path end untouched by the cap
+    g.unpersist()

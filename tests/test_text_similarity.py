@@ -410,3 +410,77 @@ def test_ivf_validate_index_catches_foreign_centroids(vectors):
     cents4 = cents8[:4]  # pretend a retrain shrank the list count
     with _pytest.raises(ValueError, match="different centroids"):
         ivf_topk(index8, q, cents4, k=3, nprobe=2, validate=True)
+
+
+def test_jaccard_prefix_equals_bruteforce_join(docs, spark):
+    """Prefix filtering is LOSSLESS: jaccard_prefix_pairs must return
+    exactly ngram_jaccard_pairs' rows at every threshold — on the module
+    fixture and on a larger randomized corpus with heavy shingle sharing."""
+    import random
+
+    from sparkgraph.text import jaccard_prefix_pairs
+
+    for t in (0.3, 0.5, 0.8):
+        brute = sorted(
+            (r.a, r.b, r.jaccard)
+            for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+        )
+        pref = sorted(
+            (r.a, r.b, r.jaccard)
+            for r in jaccard_prefix_pairs(docs, threshold=t).collect()
+        )
+        assert pref == brute, t
+    assert any(
+        len(ngram_jaccard_pairs(docs, threshold=t).collect()) > 0
+        for t in (0.3,)
+    )  # the comparison is not vacuous
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(8, 25))))
+        for i in range(40)
+    ]
+    big = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.2, 0.5):
+        brute = sorted(
+            (r.a, r.b, r.jaccard)
+            for r in ngram_jaccard_pairs(big, threshold=t).collect()
+        )
+        pref = sorted(
+            (r.a, r.b, r.jaccard)
+            for r in jaccard_prefix_pairs(big, threshold=t).collect()
+        )
+        assert pref == brute, t
+
+
+def test_bm25_matches_python_oracle(docs):
+    import math
+    from collections import Counter
+
+    from sparkgraph.text import BM25_B, BM25_K1, bm25_scores
+
+    terms = ["quick", "dog", "katze"]
+    got = {r.id: r.score for r in bm25_scores(docs, terms).collect()}
+
+    toks = {i: [w.lower() for w in t.split()] for i, t, _ in DOCS}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = Counter(t for ws in toks.values() for t in set(ws) if t in terms)
+    want = {}
+    for i, ws in toks.items():
+        tf = Counter(w for w in ws if w in terms)
+        s = 0.0
+        for t, f in tf.items():
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * f * (BM25_K1 + 1) / (
+                f + BM25_K1 * (1 - BM25_B + BM25_B * len(ws) / avgdl)
+            )
+        want[i] = round(s, 6)
+    assert set(got) == set(want)
+    for i in want:
+        assert math.isclose(got[i], want[i], abs_tol=1e-6), i
+    # docs matching no query term score exactly 0.0 but are present
+    assert got[3] == 0.0
+    # ranking sanity: the duplicated quick-fox docs outrank the others
+    assert got[0] == got[4] > got[2] > 0.0
