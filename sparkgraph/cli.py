@@ -96,6 +96,14 @@ def main(argv: list[str] | None = None) -> int:
     co = sub.add_parser("coloring")
     common(co)
     co.add_argument("--mixer", choices=["xxhash", "affine"], default="xxhash")
+    ms = sub.add_parser("mst")
+    common(ms)
+    ms.add_argument("--weight-col", default="weight",
+                    help="edge weight column (parquet input); text inputs use 1.0")
+    th = sub.add_parser("twohop")
+    common(th)
+    th.add_argument("--max-degree", type=int, default=None,
+                    help="cap middle-vertex degree (bounds the Σdeg² join)")
     ing = sub.add_parser("ingest")
     ing.add_argument("--master", default=None)
     ing.add_argument("--input", required=True, help="sources table (parquet)")
@@ -237,6 +245,39 @@ def main(argv: list[str] | None = None) -> int:
                 "converged": res.converged,
                 "n_communities": n_comm,
                 "modularity": round(float(q), 6),
+            }))
+            return 0
+        elif args.cmd == "mst":
+            from sparkgraph.algorithms.mst import minimum_spanning_forest
+
+            e = g.edges
+            if args.weight_col not in e.columns:
+                e = e.withColumn(args.weight_col, F.lit(1.0))
+            res = minimum_spanning_forest(e, weight_col=args.weight_col)
+            if args.output:
+                res.state.write.mode("overwrite").parquet(args.output)
+            agg = res.state.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("weight").alias("w")
+            ).collect()[0]
+            print(json.dumps({
+                "supersteps": res.supersteps,
+                "converged": res.converged,
+                "msf_edges": agg["n"],
+                "msf_weight": float(agg["w"] or 0.0),
+            }))
+            return 0
+        elif args.cmd == "twohop":
+            from sparkgraph.algorithms.structure import two_hop_sizes
+
+            out = two_hop_sizes(g, max_degree=args.max_degree)
+            if args.output:
+                out.write.mode("overwrite").parquet(args.output)
+            rows = out.orderBy(F.desc("n_2hop"), F.asc("id")).limit(args.top).collect()
+            print(json.dumps({
+                "top": [
+                    {"id": r.id, "n_1hop": r.n_1hop, "n_2hop": r.n_2hop}
+                    for r in rows
+                ],
             }))
             return 0
         elif args.cmd == "coloring":
