@@ -2916,6 +2916,32 @@ FROM deg JOIN (SELECT id, COUNT(*) AS n_2hop FROM reach GROUP BY id) r USING (id
 )
 
 
+def _q_motif_wedge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-wedge counts per center vertex via the motif DSL
+    (algorithms/motifs.find): ``(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)`` on
+    the canonical (src<dst) parts co-order DAG — the DAG orientation gives
+    a<b<c, so every open wedge binds exactly once."""
+    from sparkgraph.algorithms.motifs import find
+
+    w = find(part_edges(spark, sf_dir), "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+    return w.groupBy(F.col("b").alias("id")).agg(
+        F.count(F.lit(1)).alias("n_open_wedges")
+    )
+
+
+_MOTIF_WEDGE_SQL = (
+    "WITH " + _PART_CTE.strip() + """,
+w AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges e3 WHERE e3.src = e1.src AND e3.dst = e2.dst
+  )
+)
+SELECT b AS id, COUNT(*) AS n_open_wedges FROM w GROUP BY b"""
+)
+
+
 # second affine map for the condensation gate: the 1-map scc gate graph is
 # a PERMUTATION of Z_500 (gcd(49, 500) = 1 ⇒ disjoint cycles ⇒ every edge
 # intra-SCC ⇒ empty condensation — a vacuous gate row). Adding i → 5i+3
@@ -3156,6 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix_documents": _q_jaccard_prefix,
         "twohop_parts": _q_twohop,
         "scc_condensation_parts_affine": _q_scc_condensation,
+        "motif_wedge_parts": _q_motif_wedge,
         # -- padding to the 50-cap: green r04, re-promoted -----------------
         "fingerprint_documents": _q_fingerprint,
         "louvain_bipartite": _q_louvain,
@@ -3163,8 +3190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_weighted_bipartite": _q_louvain_weighted,
         "densest_parts_clique": _q_densest,
         "local_clustering_suppliers": _q_local_clustering,
-        "projection_suppliers": _q_projection,
         # -- tail: green r04, unchanged; rotate back into the head in r06 --
+        "projection_suppliers": _q_projection,
         "egonet_bipartite": _q_egonet,
         "linkpred_parts": _q_linkpred_parts,
         "hits_bipartite": _q_hits,
@@ -3206,6 +3233,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_documents": _bm25_sql(),
         "jaccard_prefix_documents": _JACCARD_SQL,
         "twohop_parts": _TWOHOP_SQL,
+        "motif_wedge_parts": _MOTIF_WEDGE_SQL,
         "scc_condensation_parts_affine": _SCC_CONDENSATION_SQL,
         "pagerank_bipartite": _pagerank_sql(PR_ITERS),
         "pagerank_tol_bipartite": _pagerank_conv_sql(PR_TOL_STEPS_SF001),

@@ -104,6 +104,10 @@ def main(argv: list[str] | None = None) -> int:
     common(th)
     th.add_argument("--max-degree", type=int, default=None,
                     help="cap middle-vertex degree (bounds the Σdeg² join)")
+    mo = sub.add_parser("motif")
+    common(mo)
+    mo.add_argument("--pattern", required=True,
+                    help="e.g. '(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)'")
     ing = sub.add_parser("ingest")
     ing.add_argument("--master", default=None)
     ing.add_argument("--input", required=True, help="sources table (parquet)")
@@ -279,6 +283,16 @@ def main(argv: list[str] | None = None) -> int:
                     for r in rows
                 ],
             }))
+            return 0
+        elif args.cmd == "motif":
+            from sparkgraph.algorithms.motifs import find
+
+            out = find(g.edges, args.pattern)
+            if args.output:
+                out.write.mode("overwrite").parquet(args.output)
+            n = out.count()
+            sample = [r.asDict(recursive=True) for r in out.limit(args.top).collect()]
+            print(json.dumps({"pattern": args.pattern, "matches": n, "sample": sample}))
             return 0
         elif args.cmd == "coloring":
             from sparkgraph.algorithms.coloring import greedy_coloring

@@ -30,10 +30,14 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        n = os.cpu_count() or 8
-        if master.startswith("local[") and master[6:-1].isdigit():
-            n = int(master[6:-1])
-        shuffle_partitions = n
+        env_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        if env_parts is not None:
+            shuffle_partitions = int(env_parts)
+        else:
+            n = os.cpu_count() or 8
+            if master.startswith("local[") and master[6:-1].isdigit():
+                n = int(master[6:-1])
+            shuffle_partitions = n
 
     builder = (
         SparkSession.builder.appName(app_name)
