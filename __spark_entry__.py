@@ -2942,6 +2942,57 @@ SELECT b AS id, COUNT(*) AS n_open_wedges FROM w GROUP BY b"""
 )
 
 
+def _q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal earliest-arrival reachability (algorithms/temporal.py — Wu
+    et al. VLDB 2014 minimal temporal paths) from users {0,1,2} at t=0 over
+    hand-off edges: within each event_type, each event links the PREVIOUS
+    event's user to this event's user at this event's time (a deterministic
+    lag chain — the gate's temporal contact sequence). Timestamps are epoch
+    MICROSECONDS cast to double (exact: 2024-epoch micros < 2^53), so the
+    DuckDB twin is value-identical. Unreachable rows (arrival=+inf) are
+    filtered — infinities don't round-trip the driver hash."""
+    from pyspark.sql import Window
+
+    from sparkgraph.algorithms.temporal import temporal_earliest_arrival
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    te = (
+        ev.select(
+            F.lag("user_id").over(w).alias("src"),
+            F.col("user_id").alias("dst"),
+            # parquet ts is TIMESTAMP_NTZ; session TZ is pinned UTC, so the
+            # LTZ cast is the identity DuckDB's epoch_us applies to naive ts
+            F.unix_micros(F.col("ts").cast("timestamp")).cast("double").alias("ts"),
+        )
+        .filter(F.col("src").isNotNull())
+    )
+    res = temporal_earliest_arrival(te, [0, 1, 2], t_start=0.0)
+    return res.state.filter(F.col("arrival") != float("inf"))
+
+
+_TEMPORAL_REACH_SQL = """
+WITH RECURSIVE te AS (
+  SELECT lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS src,
+         user_id AS dst,
+         CAST(epoch_us(ts) AS DOUBLE) AS t
+  FROM events
+),
+e AS (SELECT src, dst, t FROM te WHERE src IS NOT NULL),
+r AS (
+  SELECT id, CAST(0.0 AS DOUBLE) AS t
+  FROM (SELECT UNNEST([0, 1, 2]) AS id)
+  UNION
+  SELECT e.dst AS id, e.t FROM r JOIN e ON e.src = r.id AND e.t >= r.t
+),
+verts AS (
+  SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst AS id FROM e
+)
+SELECT v.id, MIN(r.t) AS arrival
+FROM verts v JOIN r ON r.id = v.id
+GROUP BY v.id"""
+
+
 # second affine map for the condensation gate: the 1-map scc gate graph is
 # a PERMUTATION of Z_500 (gcd(49, 500) = 1 ⇒ disjoint cycles ⇒ every edge
 # intra-SCC ⇒ empty condensation — a vacuous gate row). Adding i → 5i+3
@@ -3183,14 +3234,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twohop_parts": _q_twohop,
         "scc_condensation_parts_affine": _q_scc_condensation,
         "motif_wedge_parts": _q_motif_wedge,
+        "temporal_reach_events": _q_temporal_reach,
         # -- padding to the 50-cap: green r04, re-promoted -----------------
         "fingerprint_documents": _q_fingerprint,
         "louvain_bipartite": _q_louvain,
         "louvain_multilevel_bipartite": _q_louvain_ml,
         "louvain_weighted_bipartite": _q_louvain_weighted,
         "densest_parts_clique": _q_densest,
-        "local_clustering_suppliers": _q_local_clustering,
         # -- tail: green r04, unchanged; rotate back into the head in r06 --
+        "local_clustering_suppliers": _q_local_clustering,
         "projection_suppliers": _q_projection,
         "egonet_bipartite": _q_egonet,
         "linkpred_parts": _q_linkpred_parts,
@@ -3234,6 +3286,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_prefix_documents": _JACCARD_SQL,
         "twohop_parts": _TWOHOP_SQL,
         "motif_wedge_parts": _MOTIF_WEDGE_SQL,
+        "temporal_reach_events": _TEMPORAL_REACH_SQL,
         "scc_condensation_parts_affine": _SCC_CONDENSATION_SQL,
         "pagerank_bipartite": _pagerank_sql(PR_ITERS),
         "pagerank_tol_bipartite": _pagerank_conv_sql(PR_TOL_STEPS_SF001),
