@@ -3235,13 +3235,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_condensation_parts_affine": _q_scc_condensation,
         "motif_wedge_parts": _q_motif_wedge,
         "temporal_reach_events": _q_temporal_reach,
+        # frontier-restricted coreness rewrite (r5) — engine code changed
+        "coreness_parts": _q_coreness,
         # -- padding to the 50-cap: green r04, re-promoted -----------------
         "fingerprint_documents": _q_fingerprint,
         "louvain_bipartite": _q_louvain,
         "louvain_multilevel_bipartite": _q_louvain_ml,
         "louvain_weighted_bipartite": _q_louvain_weighted,
-        "densest_parts_clique": _q_densest,
         # -- tail: green r04, unchanged; rotate back into the head in r06 --
+        "densest_parts_clique": _q_densest,
         "local_clustering_suppliers": _q_local_clustering,
         "projection_suppliers": _q_projection,
         "egonet_bipartite": _q_egonet,
@@ -3252,7 +3254,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity_bipartite": _q_eccentricity,
         "closeness_bipartite": _q_closeness,
         "kcore_parts": _q_kcore_parts,
-        "coreness_parts": _q_coreness,
         "ingest_sha_documents": _q_ingest_sha,
         "dedup_exact_documents": _q_dedup_exact,
         "token_stats_documents": _q_token_stats,
