@@ -2942,6 +2942,48 @@ SELECT b AS id, COUNT(*) AS n_open_wedges FROM w GROUP BY b"""
 )
 
 
+def _q_sample_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus rebalancing (sampling.py): stratified hash
+    sample by language (keep all zh, 60% fr, 35% en, drop the rest), then
+    the 20 longest surviving docs per language (top_k_per_group,
+    doc_id tie-break). md5 portable hash mode — the DuckDB twin replays the
+    uniform variate digit-for-digit."""
+    from sparkgraph.sampling import stratified_sample, top_k_per_group
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    s = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.35, "fr": 0.6, "zh": 1.0}, hash="md5"
+    )
+    return top_k_per_group(s, "lang", "n_chars", k=20, tie_col="doc_id")
+
+
+_SAMPLE_CURATE_SQL = """
+WITH u AS (
+  SELECT doc_id, lang, n_chars,
+         CAST((
+           (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 1, 1)) - 1) * 268435456
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 2, 1)) - 1) * 16777216
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 3, 1)) - 1) * 1048576
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 4, 1)) - 1) * 65536
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 5, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 6, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 7, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 8, 1)) - 1)
+         ) AS DOUBLE) / 4294967296.0 AS uu
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, n_chars FROM u
+  WHERE uu < CASE lang WHEN 'en' THEN 0.35 WHEN 'fr' THEN 0.6 WHEN 'zh' THEN 1.0 ELSE 0.0 END
+),
+r AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM s
+)
+SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20"""
+
+
 def _q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal earliest-arrival reachability (algorithms/temporal.py — Wu
     et al. VLDB 2014 minimal temporal paths) from users {0,1,2} at t=0 over
@@ -3237,12 +3279,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reach_events": _q_temporal_reach,
         # frontier-restricted coreness rewrite (r5) — engine code changed
         "coreness_parts": _q_coreness,
+        "sample_curate_documents": _q_sample_curate,
         # -- padding to the 50-cap: green r04, re-promoted -----------------
         "fingerprint_documents": _q_fingerprint,
         "louvain_bipartite": _q_louvain,
         "louvain_multilevel_bipartite": _q_louvain_ml,
-        "louvain_weighted_bipartite": _q_louvain_weighted,
         # -- tail: green r04, unchanged; rotate back into the head in r06 --
+        "louvain_weighted_bipartite": _q_louvain_weighted,
         "densest_parts_clique": _q_densest,
         "local_clustering_suppliers": _q_local_clustering,
         "projection_suppliers": _q_projection,
@@ -3288,6 +3331,7 @@ def oracle_sql() -> dict[str, str]:
         "twohop_parts": _TWOHOP_SQL,
         "motif_wedge_parts": _MOTIF_WEDGE_SQL,
         "temporal_reach_events": _TEMPORAL_REACH_SQL,
+        "sample_curate_documents": _SAMPLE_CURATE_SQL,
         "scc_condensation_parts_affine": _SCC_CONDENSATION_SQL,
         "pagerank_bipartite": _pagerank_sql(PR_ITERS),
         "pagerank_tol_bipartite": _pagerank_conv_sql(PR_TOL_STEPS_SF001),
