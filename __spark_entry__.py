@@ -2984,6 +2984,51 @@ r AS (
 SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20"""
 
 
+DAG_MOD = 100  # parts co-order DAG: 100 vertices, depth 9 at sf0.01
+
+
+def _q_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAG layering + deterministic topological order (algorithms/dag.py —
+    no reference analogue; build-schedule surface for dependency DAGs): the
+    parts co-order graph (partkey < DAG_MOD) oriented id-ascending is a DAG
+    by construction; layer = longest-path depth (the maximal parallel
+    schedule), pos = 1-based (layer, id) rank — a valid topological order
+    since every edge strictly increases layer. Frontier max-relaxation
+    settles in depth supersteps; the DuckDB twin replays the fixpoint with
+    a recursive CTE deduplicated on (vertex, path-length), bounded by V·D
+    rows."""
+    from sparkgraph.algorithms.dag import topological_order
+
+    l = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").filter(
+        F.col("l_partkey") < DAG_MOD
+    )
+    a = l.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = l.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    e = a.join(b, "k").filter(F.col("src") < F.col("dst")).select("src", "dst").distinct()
+    return topological_order(e)
+
+
+_DAG_LAYERS_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey < {DAG_MOD} AND b.l_partkey < {DAG_MOD}
+),
+verts AS (
+  SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst AS id FROM edges
+),
+reach(id, d) AS (
+  SELECT id, 0 FROM verts
+  UNION
+  SELECT e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.id
+),
+layers AS (SELECT id, MAX(d) AS layer FROM reach GROUP BY id)
+SELECT id, CAST(layer AS BIGINT) AS layer,
+       CAST(ROW_NUMBER() OVER (ORDER BY layer, id) AS BIGINT) AS pos
+FROM layers"""
+
+
 def _q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal earliest-arrival reachability (algorithms/temporal.py — Wu
     et al. VLDB 2014 minimal temporal paths) from users {0,1,2} at t=0 over
@@ -3280,11 +3325,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # frontier-restricted coreness rewrite (r5) — engine code changed
         "coreness_parts": _q_coreness,
         "sample_curate_documents": _q_sample_curate,
+        "dag_layers_parts": _q_dag_layers,
         # -- padding to the 50-cap: green r04, re-promoted -----------------
         "fingerprint_documents": _q_fingerprint,
         "louvain_bipartite": _q_louvain,
-        "louvain_multilevel_bipartite": _q_louvain_ml,
         # -- tail: green r04, unchanged; rotate back into the head in r06 --
+        "louvain_multilevel_bipartite": _q_louvain_ml,
         "louvain_weighted_bipartite": _q_louvain_weighted,
         "densest_parts_clique": _q_densest,
         "local_clustering_suppliers": _q_local_clustering,
@@ -3332,6 +3378,7 @@ def oracle_sql() -> dict[str, str]:
         "motif_wedge_parts": _MOTIF_WEDGE_SQL,
         "temporal_reach_events": _TEMPORAL_REACH_SQL,
         "sample_curate_documents": _SAMPLE_CURATE_SQL,
+        "dag_layers_parts": _DAG_LAYERS_SQL,
         "scc_condensation_parts_affine": _SCC_CONDENSATION_SQL,
         "pagerank_bipartite": _pagerank_sql(PR_ITERS),
         "pagerank_tol_bipartite": _pagerank_conv_sql(PR_TOL_STEPS_SF001),

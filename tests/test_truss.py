@@ -85,11 +85,29 @@ def test_truss_deep_peel_matches_full_recount_trajectory(spark):
     )
     g = Graph(edges_from_pairs(spark, pairs), num_partitions=4)
     want_final, want_rounds = _truss_rounds_oracle(pairs, 4)
-    res = k_truss(g, 4)
+    # core_prune off: this test pins the UNPRUNED bulk-peel trajectory (the
+    # (k−1)-core prune legitimately removes some rounds' edges upfront)
+    res = k_truss(g, 4, core_prune=False)
     assert res.converged
     got = {(r.u, r.v) for r in res.state.collect()}
     assert got == want_final and len(want_final) > 0
     # incremental peel takes the same number of drop rounds (+1 fixpoint check)
     assert res.supersteps == len(want_rounds) + 1
     assert len(want_rounds) >= 10  # the fixture actually peels deep
+    g.unpersist()
+
+
+def test_truss_core_prune_equivalence(spark):
+    """(k−1)-core pre-pruning must not change the fixpoint: the k-truss is a
+    subgraph of the (k−1)-core and peeling is confluent, so pruned and
+    unpruned peels land on the identical edge set."""
+    rnd = random.Random(77)
+    pairs = sorted(
+        {(a, b) for a, b in ((rnd.randrange(30), rnd.randrange(30)) for _ in range(160)) if a != b}
+    )
+    g = Graph(edges_from_pairs(spark, pairs), num_partitions=4)
+    for k in (3, 4, 5):
+        pruned = {(r.u, r.v) for r in k_truss(g, k, core_prune=True).state.collect()}
+        plain = {(r.u, r.v) for r in k_truss(g, k, core_prune=False).state.collect()}
+        assert pruned == plain == _truss_oracle(pairs, k), k
     g.unpersist()
