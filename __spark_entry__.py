@@ -2984,6 +2984,58 @@ r AS (
 SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20"""
 
 
+DUPSPAN_N = 5  # word n-gram anchor width for exact-substring span dedup
+
+
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (text.duplicate_spans — Lee et al.
+    2022 span-level dedup): maximal 1-based token ranges covered by word
+    5-grams occurring ≥2× corpus-wide. The DuckDB twin replays the slide,
+    the corpus count, and the island merge with the same per-doc windows."""
+    from sparkgraph.text import duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    out = duplicate_spans(docs, n=DUPSPAN_N, min_count=2)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "n_dup_grams",
+    )
+
+
+_DUP_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents
+),
+pos AS (
+  SELECT doc_id, UNNEST(generate_series(1, len(tk) - {DUPSPAN_N} + 1)) AS start, tk
+  FROM toks WHERE len(tk) >= {DUPSPAN_N}
+),
+grams AS (
+  SELECT doc_id, start, array_to_string(tk[start:start+{DUPSPAN_N}-1], ' ') AS gram FROM pos
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+hits AS (
+  SELECT doc_id, start, start + {DUPSPAN_N} - 1 AS "end" FROM grams SEMI JOIN dup USING (gram)
+),
+flagged AS (
+  SELECT doc_id, start, "end",
+    CASE WHEN start > COALESCE(MAX("end") OVER (
+      PARTITION BY doc_id ORDER BY start ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+    THEN 1 ELSE 0 END AS new_island
+  FROM hits
+),
+islands AS (
+  SELECT *, SUM(new_island) OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT doc_id, CAST(MIN(start) AS BIGINT) AS span_start,
+       CAST(MAX("end") AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+FROM islands GROUP BY doc_id, island"""
+
+
 DAG_MOD = 100  # parts co-order DAG: 100 vertices, depth 9 at sf0.01
 
 
@@ -3326,10 +3378,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness_parts": _q_coreness,
         "sample_curate_documents": _q_sample_curate,
         "dag_layers_parts": _q_dag_layers,
+        "duplicate_spans_documents": _q_dup_spans,
         # -- padding to the 50-cap: green r04, re-promoted -----------------
         "fingerprint_documents": _q_fingerprint,
-        "louvain_bipartite": _q_louvain,
         # -- tail: green r04, unchanged; rotate back into the head in r06 --
+        "louvain_bipartite": _q_louvain,
         "louvain_multilevel_bipartite": _q_louvain_ml,
         "louvain_weighted_bipartite": _q_louvain_weighted,
         "densest_parts_clique": _q_densest,
@@ -3379,6 +3432,7 @@ def oracle_sql() -> dict[str, str]:
         "temporal_reach_events": _TEMPORAL_REACH_SQL,
         "sample_curate_documents": _SAMPLE_CURATE_SQL,
         "dag_layers_parts": _DAG_LAYERS_SQL,
+        "duplicate_spans_documents": _DUP_SPANS_SQL,
         "scc_condensation_parts_affine": _SCC_CONDENSATION_SQL,
         "pagerank_bipartite": _pagerank_sql(PR_ITERS),
         "pagerank_tol_bipartite": _pagerank_conv_sql(PR_TOL_STEPS_SF001),

@@ -704,6 +704,90 @@ def domain_stats(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate SPANS, n-gram anchored: for every document,
+    the maximal token ranges covered by word n-grams that occur ≥
+    ``min_count`` times across the whole corpus (including repeats inside
+    one document). Returns ``(id, span_start, span_end, n_dup_grams)`` with
+    1-based inclusive token positions — the redaction/trimming unit of
+    span-level dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better": duplicated substrings are removed span-wise,
+    not document-wise, because boilerplate recurs INSIDE otherwise-unique
+    pages). Document-level near-dup (minhash_lsh_*) cannot see these.
+
+    Scale shape: one tokenize + in-array slide per doc (no join), one
+    map-side-combined (gram → count) aggregate, one semi-join of positions
+    against the duplicated-gram set, then island-merging with windows
+    partitioned BY DOCUMENT (never global — per-partition work is bounded
+    by a single doc's gram count). The groupBy key is the gram string;
+    at corpus scale substitute ``xxhash64(gram)`` to shrink shuffle width
+    (collisions only ever over-mark a span, and can be re-verified
+    string-exact per bucket)."""
+    from pyspark.sql import Window
+
+    if n < 2:
+        raise ValueError("duplicate_spans needs n >= 2")
+    if min_count < 2:
+        raise ValueError("min_count < 2 would mark every position")
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(REPETITION_TOKEN_RE), 0
+    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + d + 1) for d in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = df.select(
+        F.col(id_col).alias("id"), F.posexplode(grams).alias("p", "gram")
+    ).select("id", (F.col("p") + 1).alias("start"), "gram")
+    dup = (
+        pos.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("gram")
+    )
+    hits = pos.join(dup, "gram", "left_semi").select(
+        "id", "start", (F.col("start") + n - 1).alias("end")
+    )
+    w = Window.partitionBy("id").orderBy("start")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.select(
+        "id",
+        "start",
+        "end",
+        F.when(
+            F.col("start") > F.coalesce(prev_max_end, F.lit(-1)) + 1, 1
+        ).otherwise(0).alias("new_island"),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select(
+            F.col("id").alias(id_col), "span_start", "span_end", "n_dup_grams"
+        )
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     id_col: str = "doc_id",
