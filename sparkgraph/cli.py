@@ -108,6 +108,11 @@ def main(argv: list[str] | None = None) -> int:
     common(mo)
     mo.add_argument("--pattern", required=True,
                     help="e.g. '(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)'")
+    tp = sub.add_parser("topo")
+    common(tp)
+    tr = sub.add_parser("truss")
+    common(tr)
+    tr.add_argument("--k", type=int, required=True)
     ing = sub.add_parser("ingest")
     ing.add_argument("--master", default=None)
     ing.add_argument("--input", required=True, help="sources table (parquet)")
@@ -293,6 +298,34 @@ def main(argv: list[str] | None = None) -> int:
             n = out.count()
             sample = [r.asDict(recursive=True) for r in out.limit(args.top).collect()]
             print(json.dumps({"pattern": args.pattern, "matches": n, "sample": sample}))
+            return 0
+        elif args.cmd == "topo":
+            from sparkgraph.algorithms.dag import topological_order
+
+            out = topological_order(g.edges.select("src", "dst"))
+            if args.output:
+                out.write.mode("overwrite").parquet(args.output)
+            depth = out.agg(F.max("layer")).collect()[0][0]
+            rows = out.orderBy("pos").limit(args.top).collect()
+            print(json.dumps({
+                "depth": depth,
+                "order": [
+                    {"id": r.id, "layer": r.layer, "pos": r.pos} for r in rows
+                ],
+            }))
+            return 0
+        elif args.cmd == "truss":
+            from sparkgraph.algorithms.truss import k_truss
+
+            res = k_truss(g, args.k)
+            if args.output:
+                res.state.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({
+                "k": args.k,
+                "edges_kept": res.state.count(),
+                "supersteps": res.supersteps,
+                "converged": res.converged,
+            }))
             return 0
         elif args.cmd == "coloring":
             from sparkgraph.algorithms.coloring import greedy_coloring
