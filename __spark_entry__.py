@@ -3297,6 +3297,251 @@ _GRAPH_METRICS_PARTS.extend(
     ]
 )
 
+# ---------------------------------------------------------------------------
+# round-5 second-wave additions: HLL sketch, containment, bigram LM,
+# community conductance, k-means clustering, batch PPR
+
+HLL_B = 9  # 512 registers — SQL-portable md5-digit register math
+
+
+def _q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-user estimate per event_type (sketches.hll_distinct)
+    next to the exact count — the mergeable-register approximate distinct
+    every 100 TB pipeline leans on (exact COUNT(DISTINCT) shuffles every
+    distinct value; HLL ships ≤ m rows per group). The md5-digit hash makes
+    the DuckDB twin reproduce the registers digit-for-digit, so the gate
+    value-checks an approximate operator exactly."""
+    from sparkgraph.sketches import hll_distinct
+
+    ev = _read(spark, sf_dir, "events")
+    est = hll_distinct(ev, "user_id", ["event_type"], b=HLL_B)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_distinct_exact")
+    )
+    return exact.join(est, "event_type")
+
+
+def _hll_users_sql() -> str:
+    from sparkgraph.sketches import hll_sql
+
+    est = hll_sql("events", "user_id", ["event_type"], b=HLL_B)
+    return f"""
+WITH est AS ({est}),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_exact
+  FROM events GROUP BY event_type
+)
+SELECT exact.event_type, exact.n_distinct_exact, est.n_distinct_hll
+FROM exact JOIN est USING (event_type)"""
+
+
+CONTAIN_THRESHOLD = 0.5
+
+
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment pairs (text.containment_pairs) — the
+    subset-duplication detector Jaccard misses (Broder 1997 containment)."""
+    from sparkgraph.text import containment_pairs
+
+    return containment_pairs(
+        _read(spark, sf_dir, "documents"), n=3, threshold=CONTAIN_THRESHOLD
+    )
+
+
+_CONTAINMENT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS g(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b, ROUND(i / sa.sz, 6) AS containment
+FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+WHERE ROUND(i / sa.sz, 6) >= {CONTAIN_THRESHOLD}"""
+
+
+def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram-LM scoring (text.bigram_logprob) — order-sensitive
+    perplexity proxy; the vocabulary-broadcast lesson applied (bigram count
+    table is joined, never hint-broadcast)."""
+    from sparkgraph.text import bigram_logprob
+
+    return bigram_logprob(_read(spark, sf_dir, "documents"))
+
+
+_BIGRAM_SQL = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id AS id, i AS pos, arr[i] AS term
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+        FROM documents),
+       UNNEST(generate_series(1, len(arr))) AS t(i)
+),
+big AS MATERIALIZED (
+  SELECT a.id, a.term AS w1, b.term AS w2
+  FROM toks a JOIN toks b ON a.id = b.id AND b.pos = a.pos + 1
+),
+c2 AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+c1 AS MATERIALIZED (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+vocab AS (SELECT COUNT(DISTINCT term) AS nv FROM toks),
+scored AS (
+  SELECT big.id, -LN((c2.c2 + 1) / (c1.c1 + vocab.nv)) AS nlp
+  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+),
+agg AS (
+  SELECT id, COUNT(*) AS n_bigrams, ROUND(AVG(nlp), 6) AS avg_neg_logp
+  FROM scored GROUP BY id
+)
+SELECT d.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+       COALESCE(agg.avg_neg_logp, 0.0) AS avg_neg_logp
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN agg ON agg.id = d.doc_id"""
+
+
+def _q_community_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance / cut / volume report
+    (structure.community_stats) over the LOUVAIN partition of the
+    bipartite graph — the community screening metric (Leskovec NCP)
+    downstream of every clustering run. (LPA is the wrong label source
+    here: it side-splits the bipartite graph and collapses the dense
+    supplier clique to one label — both degenerate. Louvain's modularity
+    communities have real cuts.)"""
+    from sparkgraph.algorithms.louvain import louvain_move
+    from sparkgraph.algorithms.structure import community_stats
+
+    g = Graph(bipartite_edges(spark, sf_dir))
+    labels = louvain_move(g, rounds=LOUVAIN_ROUNDS).state
+    return community_stats(g, labels)
+
+
+def _community_stats_sql() -> str:
+    lsql = _louvain_sql(LOUVAIN_ROUNDS)
+    head, _, _ = lsql.rpartition("\nSELECT id, lbl AS label")
+    assert head, "unexpected _louvain_sql shape"
+    return (
+        head
+        + f""",
+lbl_cs AS MATERIALIZED (SELECT id, lbl AS label FROM lab{LOUVAIN_ROUNDS}),
+pe_cs AS MATERIALIZED (
+  SELECT a.label AS cu, b.label AS cv
+  FROM sym JOIN lbl_cs a ON sym.src = a.id JOIN lbl_cs b ON sym.dst = b.id
+),
+vol2 AS (SELECT COUNT(*) AS m2 FROM sym),
+agg_cs AS (
+  SELECT cu AS label, COUNT(*) AS volume,
+         CAST(SUM(CASE WHEN cu <> cv THEN 1 ELSE 0 END) AS BIGINT) AS cut_edges
+  FROM pe_cs GROUP BY cu
+),
+nv_cs AS (SELECT label, COUNT(*) AS n_vertices FROM lbl_cs GROUP BY label)
+SELECT nv_cs.label, nv_cs.n_vertices,
+       COALESCE(agg_cs.volume, 0) AS volume,
+       COALESCE(agg_cs.cut_edges, 0) AS cut_edges,
+       CAST(COALESCE(agg_cs.volume, 0) - COALESCE(agg_cs.cut_edges, 0) AS BIGINT)
+         AS internal_edges,
+       CASE WHEN COALESCE(LEAST(agg_cs.volume, vol2.m2 - agg_cs.volume), 0) = 0
+            THEN 0.0
+            ELSE ROUND(CAST(agg_cs.cut_edges AS DOUBLE)
+                       / LEAST(agg_cs.volume, vol2.m2 - agg_cs.volume), 6)
+       END AS conductance
+FROM nv_cs LEFT JOIN agg_cs USING (label), vol2"""
+    )
+
+
+KMEANS_K, KMEANS_ITERS = 8, 2
+
+
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic spherical k-means document clustering over the
+    embeddings table (similarity.ivf_train + ivf_assign — the IVF coarse
+    quantizer exposed as the clustering operator it is): k lowest-id seeds,
+    KMEANS_ITERS Lloyd rounds with 6 dp centroid pinning, final argmax
+    assignment. The DuckDB twin replays every Lloyd round in SQL."""
+    from sparkgraph.similarity import ivf_assign, ivf_train
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    return ivf_assign(emb, cents).select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster")
+    )
+
+
+def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    ctes = [
+        "v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"""c0 AS MATERIALIZED (
+  SELECT cluster, ce FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+           list_transform(e, x -> ROUND(x, 6)) AS ce
+    FROM v
+  ) WHERE cluster < {k}
+)""",
+    ]
+    for r in range(1, iters + 1):
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cluster ASC) AS rn
+    FROM v CROSS JOIN c{r-1} c
+  ) WHERE rn = 1
+),
+m{r} AS MATERIALIZED (
+  SELECT cluster, pos, ROUND(AVG(e[pos]), 6) AS m
+  FROM a{r} JOIN v USING (vec_id),
+       UNNEST(generate_series(1, len(e))) AS t(pos)
+  GROUP BY cluster, pos
+),
+c{r} AS MATERIALIZED (
+  SELECT c{r-1}.cluster, COALESCE(mm.ce, c{r-1}.ce) AS ce
+  FROM c{r-1} LEFT JOIN (
+    SELECT cluster, list(m ORDER BY pos) AS ce FROM m{r} GROUP BY cluster
+  ) mm USING (cluster)
+)"""
+        )
+    ctes.append(
+        f"""afinal AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cluster ASC) AS rn
+    FROM v CROSS JOIN c{iters} c
+  ) WHERE rn = 1
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM afinal"
+    )
+
+
+PPR_BATCH_SEEDS = [1, 2, 3]
+
+
+def _q_ppr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch personalized PageRank (pagerank.ppr_batch): |seeds| restart
+    distributions in ONE job — one scatter join per superstep total, not
+    per seed. The per-seed twin is ppr_bipartite; this row proves the
+    batched state (seed, id) reproduces it exactly for every seed."""
+    from sparkgraph.algorithms.pagerank import ppr_batch
+
+    g = Graph(bipartite_edges(spark, sf_dir))
+    out = ppr_batch(g, PPR_BATCH_SEEDS, iterations=PR_ITERS)
+    return out.select("seed", "id", F.round("value", 9).alias("score"))
+
+
+def _ppr_batch_sql() -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT CAST({s} AS BIGINT) AS seed, t.id, t.score FROM ({_ppr_sql(PR_ITERS, s)}) t"
+        for s in PPR_BATCH_SEEDS
+    )
+
+
 _GRAPH_METRICS_ORACLES: dict[str, str] = {
     "reciprocity_bipartite": _RECIPROCITY_SQL,
     "butterflies_bipartite": _BUTTERFLIES_SQL,
@@ -3379,9 +3624,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_curate_documents": _q_sample_curate,
         "dag_layers_parts": _q_dag_layers,
         "duplicate_spans_documents": _q_dup_spans,
-        # -- padding to the 50-cap: green r04, re-promoted -----------------
-        "fingerprint_documents": _q_fingerprint,
+        "hll_distinct_events": _q_hll_users,
+        # -- new in r05, past the 50-cap (locally oracle-verified via
+        #    scripts/check_oracles.py; promote in r06) ---------------------
+        "containment_documents": _q_containment,
+        "bigram_logprob_documents": _q_bigram_logprob,
+        "community_stats_bipartite": _q_community_stats,
+        "kmeans_embeddings": _q_kmeans,
+        "ppr_batch_bipartite": _q_ppr_batch,
         # -- tail: green r04, unchanged; rotate back into the head in r06 --
+        "fingerprint_documents": _q_fingerprint,
         "louvain_bipartite": _q_louvain,
         "louvain_multilevel_bipartite": _q_louvain_ml,
         "louvain_weighted_bipartite": _q_louvain_weighted,
@@ -3433,6 +3685,12 @@ def oracle_sql() -> dict[str, str]:
         "sample_curate_documents": _SAMPLE_CURATE_SQL,
         "dag_layers_parts": _DAG_LAYERS_SQL,
         "duplicate_spans_documents": _DUP_SPANS_SQL,
+        "hll_distinct_events": _hll_users_sql(),
+        "containment_documents": _CONTAINMENT_SQL,
+        "bigram_logprob_documents": _BIGRAM_SQL,
+        "community_stats_bipartite": _community_stats_sql(),
+        "kmeans_embeddings": _kmeans_sql(),
+        "ppr_batch_bipartite": _ppr_batch_sql(),
         "scc_condensation_parts_affine": _SCC_CONDENSATION_SQL,
         "pagerank_bipartite": _pagerank_sql(PR_ITERS),
         "pagerank_tol_bipartite": _pagerank_conv_sql(PR_TOL_STEPS_SF001),

@@ -198,6 +198,67 @@ def pagerank(
     return loop.finish(state, step, converged, result=state.select("id", "value"))
 
 
+def ppr_batch(
+    graph: Graph,
+    sources: list[int],
+    iterations: int = 30,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank for MANY restart vertices in ONE job:
+    ``(seed, id, value)`` — the batch analog of ``pagerank(reset_to=s)``
+    run |sources| times, at one scatter join per superstep instead of
+    |sources|. Reference-mode semantics per seed (zeros init, exactly
+    ``iterations`` damped updates on the symmetrized unit multigraph).
+
+    Scale shape: state is |V| × |seeds| rows keyed ``(seed, id)``; each
+    superstep is ONE equi-join of the pre-partitioned edge table against
+    the state on ``src`` (the edge side streams once regardless of seed
+    count) + one map-side-combined ``groupBy(seed, dst)`` sum. This is the
+    production shape for "proximity scores for a panel of query nodes"
+    (seed-set expansion, related-files-for-these-k-files): per-seed loops
+    re-pay the edge scan |seeds| times; the batch pays it once. Memory is
+    the state size — for |seeds| beyond ~hundreds shard the seed list and
+    union results."""
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    spark = graph.spark
+    edges = graph.edges_sym
+    seeds = spark.createDataFrame(
+        [(int(s),) for s in sorted(set(sources))], "seed long"
+    )
+    base = graph.vertices.join(graph.degrees, "id").crossJoin(F.broadcast(seeds))
+    state = base.select(
+        "seed", "id", F.col("deg").cast("double").alias("deg"),
+        F.lit(0.0).alias("value"),
+    )
+    for _ in range(iterations):
+        src_state = state.select(
+            "seed",
+            F.col("id").alias("src"),
+            (F.col("value") / F.col("deg")).alias("contrib"),
+        )
+        msgs = edges.join(src_state.hint("shuffle_hash"), "src").select(
+            "seed", "dst", F.col("contrib").alias("msg")
+        )
+        sums = msgs.groupBy("seed", F.col("dst").alias("id")).agg(
+            F.sum("msg").alias("msum")
+        )
+        teleport = F.when(
+            F.col("id") == F.col("seed"), F.lit(1.0 - damping)
+        ).otherwise(F.lit(0.0))
+        state = truncate_lineage(
+            state.join(sums, ["seed", "id"], "left").select(
+                "seed",
+                "id",
+                "deg",
+                (teleport + F.lit(damping) * F.coalesce("msum", F.lit(0.0))).alias(
+                    "value"
+                ),
+            )
+        )
+    return state.select("seed", "id", "value")
+
+
 def top_k(result: DataFrame, k: int = 25) -> DataFrame:
     """Reference result report (A12): top-k by value descending
     (master/master.go:334-340 prints top-25 via a max-heap). Spark compiles

@@ -227,6 +227,51 @@ def modularity(graph: Graph, labels: DataFrame) -> DataFrame:
     return row
 
 
+def community_stats(graph: Graph, labels: DataFrame) -> DataFrame:
+    """Per-community quality report over the simple undirected graph:
+    ``(label, n_vertices, volume, cut_edges, internal_edges, conductance)``
+    for a vertex partition ``labels = (id, label)`` (LPA / Louvain / CC
+    output). ``volume`` = Σ degree over members (= directed-sym endpoint
+    count), ``cut_edges`` = directed-sym edges leaving the community,
+    ``internal_edges`` = volume − cut (2× the undirected intra count),
+    ``conductance`` = cut / min(vol, 2m − vol) — the standard community
+    screening metric (Leskovec et al., NCP plots): low = well-separated.
+
+    Scale shape: two hash joins of the edge list against the (vertex-sized)
+    label table, then ONE map-side-combined groupBy(label) — integer sums
+    until the final division, same exactness discipline as modularity().
+    Communities of isolated vertices can't occur (edge-derived graphs);
+    conductance of a community spanning everything is 0 by the min()."""
+    sym = _simple_sym(graph)
+    lu = labels.select(F.col("id").alias("u"), F.col("label").alias("cu"))
+    lv = labels.select(F.col("id").alias("v"), F.col("label").alias("cv"))
+    per_edge = sym.join(lu, "u").join(lv, "v")
+    m2 = sym.count()  # = 2m
+    agg = per_edge.groupBy(F.col("cu").alias("label")).agg(
+        F.count(F.lit(1)).alias("volume"),
+        F.sum((F.col("cu") != F.col("cv")).cast("long")).alias("cut_edges"),
+    )
+    nv = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_vertices"))
+    denom = F.least(F.col("volume"), F.lit(m2) - F.col("volume"))
+    return (
+        nv.join(agg, "label", "left")
+        .select(
+            "label",
+            "n_vertices",
+            F.coalesce("volume", F.lit(0)).alias("volume"),
+            F.coalesce("cut_edges", F.lit(0)).alias("cut_edges"),
+            (F.coalesce("volume", F.lit(0)) - F.coalesce("cut_edges", F.lit(0))).alias(
+                "internal_edges"
+            ),
+            # denom = 0 covers both empty communities and one community
+            # spanning the whole graph (cut is 0 in both): define as 0.0
+            F.when(F.coalesce(denom, F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.round(F.coalesce("cut_edges", F.lit(0)) / denom, 6))
+            .alias("conductance"),
+        )
+    )
+
+
 def two_hop_sizes(graph: Graph, max_degree: int | None = None) -> DataFrame:
     """Exact 2-hop neighborhood sizes ``(id, n_1hop, n_2hop)`` on the simple
     undirected graph: n_2hop = |{w ≠ v : dist(v, w) ≤ 2}| — the

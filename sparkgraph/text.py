@@ -211,6 +211,44 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """DIRECTED shingle containment ``(a, b, containment)`` with
+    containment(a→b) = |S(a) ∩ S(b)| / |S(a)| ≥ threshold, a ≠ b.
+
+    Jaccard misses subset duplication: a paragraph quoted whole inside a
+    10× longer page has Jaccard ~0.1 but containment ~1.0 — the Broder
+    1997 "containment" resemblance twin, and the right detector for
+    quote-inclusion / page-wrapping dedup in a web corpus. Same
+    shingle-join shape as ngram_jaccard_pairs (quadratic per shared
+    shingle — LSH-candidate first at scale); emitted per direction, so a
+    wholly-contained short doc scores 1.0 as ``a`` while its container
+    scores low as ``a``."""
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("a"), "shingle")
+    b = sh.select(F.col("id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza"))
+    return (
+        inter.join(sa, "a")
+        .select(
+            "a", "b", F.round(F.col("inter") / F.col("sza"), 6).alias("containment")
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (JVM-side: xxhash64 per shingle, min per permutation-salt)
 
@@ -672,6 +710,62 @@ def unigram_logprob(
         .select(
             F.col("id").alias(id_col),
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("avg_neg_logp", F.lit(0.0)).alias("avg_neg_logp"),
+        )
+    )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-bigram-LM document scoring ``(id, n_bigrams, avg_neg_logp)``
+    — the order-sensitive upgrade of unigram_logprob: P(w2 | w1) trained on
+    the corpus itself with add-one smoothing over the observed vocabulary,
+    each document scored by its mean bigram negative log-probability. Word
+    salad that unigram perplexity loves (common words, shuffled) scores
+    high here; docs with < 2 tokens get (0, 0.0).
+
+    Scale shape: one positional tokenize (cached) feeds (a) the bigram
+    count table — |distinct bigrams| rows, bigger than the vocabulary, so
+    NO broadcast hint ever (AQE decides; cf. the unigram/tfidf
+    vocabulary-broadcast lesson) — (b) the unigram context counts, and
+    (c) the per-doc score join. The bigram join key is the (w1, w2) pair;
+    skew concentrates on stopword-stopword pairs exactly like the unigram
+    case and shuffles, not broadcasts, absorb it."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(REPETITION_TOKEN_RE), 0
+            )
+        ).alias("pos", "term"),
+    ).persist()
+    nxt = toks.select(
+        "id", (F.col("pos") - 1).alias("pos"), F.col("term").alias("term2")
+    )
+    bigrams = toks.join(nxt, ["id", "pos"]).select(
+        "id", F.col("term").alias("w1"), F.col("term2").alias("w2")
+    ).persist()
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    n_vocab = int(toks.select("term").distinct().count())
+    scored = (
+        bigrams.join(c2, ["w1", "w2"]).join(c1, "w1")
+        .select(
+            "id",
+            (-F.log((F.col("c2") + 1) / (F.col("c1") + F.lit(n_vocab)))).alias("nlp"),
+        )
+    )
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nlp"), 6).alias("avg_neg_logp"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id")).distinct()
+        .join(agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
             F.coalesce("avg_neg_logp", F.lit(0.0)).alias("avg_neg_logp"),
         )
     )
