@@ -78,7 +78,14 @@ def k_truss(
     given, and the degree-peel (a frontier loop whose rounds cost
     O(removed-frontier degree) — kcore.py) shrinks a 138 M-edge power-law
     graph by orders of magnitude before any wedge is materialized. The
-    measured alternative is a disk-full abort at LJ scale.
+    measured alternative is a disk-full abort at LJ scale (round-5 BENCH:
+    k=20's 19-core barely prunes and the enumeration wrote >79 GB of
+    shuffle; k=100's 99-core keeps 0.8% of the edges and the full
+    decomposition converges in 52 min on one box). When a low k over a
+    dense core is genuinely required, shard the seeding enumeration by the
+    oriented edge's `a`-prefix (run `_triangle_corner_edges` per hash
+    bucket of `a` and sum supports) — each shard's wedge volume divides by
+    the bucket count while the union is exactly the full count.
     """
     if k < 2:
         raise ValueError("k-truss requires k >= 2")
