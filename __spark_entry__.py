@@ -2632,6 +2632,39 @@ SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components FROM (
     )
 
 
+def _q_codegraph_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Martin afferent/efferent coupling + instability per file over the
+    derived DIRECTED import graph (derive.coupling_metrics) — the oracle
+    replays the generator's closed form, so a value match proves extraction
+    + resolution + both aggregations end-to-end."""
+    from sparkgraph.derive import coupling_metrics, derive_import_edges
+    from sparkgraph.ingest import ingest_sources
+
+    verts = ingest_sources(_codegraph_sources(spark))
+    return coupling_metrics(derive_import_edges(verts), verts).select(
+        "repo", "path", "ca", "ce", "instability"
+    )
+
+
+_CG_COUPLING_SQL = (
+    "WITH " + _CG_CTE + """,
+ce AS MATERIALIZED (SELECT r, f, CAST(COUNT(*) AS BIGINT) AS ce
+                    FROM cg_imports GROUP BY r, f),
+ca AS MATERIALIZED (SELECT r, t, CAST(COUNT(*) AS BIGINT) AS ca
+                    FROM cg_imports GROUP BY r, t)
+SELECT p.repo, p.path,
+       COALESCE(ca.ca, 0) AS ca,
+       COALESCE(ce.ce, 0) AS ce,
+       CASE WHEN COALESCE(ca.ca, 0) + COALESCE(ce.ce, 0) = 0 THEN 0.0
+            ELSE ROUND(COALESCE(ce.ce, 0) * 1.0
+                       / (COALESCE(ca.ca, 0) + COALESCE(ce.ce, 0)), 9)
+       END AS instability
+FROM cg_paths p
+LEFT JOIN ce ON ce.r = p.r AND ce.f = p.f
+LEFT JOIN ca ON ca.r = p.r AND ca.t = p.f"""
+)
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repeated-bigram quality signal (text.repetition_stats)."""
     from sparkgraph.text import repetition_stats
@@ -3632,6 +3665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_stats_bipartite": _q_community_stats,
         "kmeans_embeddings": _q_kmeans,
         "ppr_batch_bipartite": _q_ppr_batch,
+        "codegraph_coupling": _q_codegraph_coupling,
         # -- tail: green r04, unchanged; rotate back into the head in r06 --
         "fingerprint_documents": _q_fingerprint,
         "louvain_bipartite": _q_louvain,
@@ -3691,6 +3725,7 @@ def oracle_sql() -> dict[str, str]:
         "community_stats_bipartite": _community_stats_sql(),
         "kmeans_embeddings": _kmeans_sql(),
         "ppr_batch_bipartite": _ppr_batch_sql(),
+        "codegraph_coupling": _CG_COUPLING_SQL,
         "scc_condensation_parts_affine": _SCC_CONDENSATION_SQL,
         "pagerank_bipartite": _pagerank_sql(PR_ITERS),
         "pagerank_tol_bipartite": _pagerank_conv_sql(PR_TOL_STEPS_SF001),

@@ -98,3 +98,39 @@ def derive_code_edges(
     return derive_import_edges(vertices).unionByName(
         derive_cochange_edges(memberships, max_commit_files)
     )
+
+
+def coupling_metrics(import_edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Per-file afferent/efferent coupling over the DIRECTED import graph
+    (Martin's stability metrics, "OO Design Quality Metrics" 1994):
+    ``ca`` = fan-in (distinct files importing this one), ``ce`` = fan-out
+    (distinct files this one imports), ``instability`` = ce/(ca+ce) ∈ [0,1]
+    rounded to 9 places. Files with no import edges at all score 0.0
+    (maximally stable — nothing depends on or destabilizes them).
+
+    Scale shape: two map-side-combined aggregations over the distinct edge
+    list plus two left joins back onto V — nothing wider than |E| shuffles,
+    and both aggs key on a vertex id, so the edge table's existing src hash
+    partitioning is reused for ``ce``.
+    """
+    ce = import_edges.groupBy("src").agg(F.count(F.lit(1)).alias("ce"))
+    ca = import_edges.groupBy("dst").agg(F.count(F.lit(1)).alias("ca"))
+    zero = F.lit(0).cast("long")
+    return (
+        vertices.select("id", "repo", "path")
+        .join(ce.withColumnRenamed("src", "id"), "id", "left")
+        .join(ca.withColumnRenamed("dst", "id"), "id", "left")
+        .select(
+            "id",
+            "repo",
+            "path",
+            F.coalesce("ca", zero).alias("ca"),
+            F.coalesce("ce", zero).alias("ce"),
+        )
+        .withColumn(
+            "instability",
+            F.when(F.col("ca") + F.col("ce") == 0, F.lit(0.0)).otherwise(
+                F.round(F.col("ce") / (F.col("ca") + F.col("ce")), 9)
+            ),
+        )
+    )

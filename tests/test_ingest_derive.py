@@ -106,3 +106,32 @@ def test_pagerank_on_derived_code_graph_matches_oracle(spark):
     want = pagerank_oracle(pairs, iterations=15)
     assert all(math.isclose(got[v], want[v], abs_tol=1e-6) for v in want)
     g.unpersist()
+
+
+def test_coupling_metrics_match_simulation(spark):
+    from sparkgraph.derive import coupling_metrics
+
+    src, verts = _tables(spark)
+    got = {
+        (r.repo, r.path): (r.ca, r.ce, r.instability)
+        for r in coupling_metrics(derive_import_edges(verts), verts).collect()
+    }
+    assert len(got) == N_REPOS * FPR  # total over V, isolated files included
+    # independent simulation of the generator's import rule
+    ce, ca = {}, {}
+    for r in range(N_REPOS):
+        step = r % 5 + 1
+        for f in range(FPR):
+            targets = {(f + j * step) % FPR for j in range(1, 4)} - {f}
+            ce[(r, f)] = len(targets)
+            for t in targets:
+                ca[(r, t)] = ca.get((r, t), 0) + 1
+    exts = ["py", "h", "java"]
+    for (r, f), want_ce in ce.items():
+        key = (f"org/project-{r:03d}", f"src/mod_{f}.{exts[f % 3]}")
+        want_ca = ca.get((r, f), 0)
+        g_ca, g_ce, g_inst = got[key]
+        assert (g_ca, g_ce) == (want_ca, want_ce)
+        tot = want_ca + want_ce
+        want_inst = 0.0 if tot == 0 else round(want_ce / tot, 9)
+        assert math.isclose(g_inst, want_inst, abs_tol=1e-12)
