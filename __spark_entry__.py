@@ -2665,6 +2665,54 @@ LEFT JOIN ca ON ca.r = p.r AND ca.t = p.f"""
 )
 
 
+def _q_codegraph_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-change association rules (support/confidence per ordered file
+    pair, Zimmermann et al. ICSE 2004) mined from the synthetic commit
+    history — the mega-commit cap is LIVE (commit 0 touches all CG_FPR
+    files and must be dropped before counting)."""
+    from sparkgraph.derive import cochange_rules
+    from sparkgraph.ingest import commit_memberships, ingest_sources
+
+    src = _codegraph_sources(spark)
+    verts = ingest_sources(src)
+    p = verts.select("id", "repo", "path")
+    return (
+        cochange_rules(
+            commit_memberships(src),
+            max_commit_files=CG_COCHANGE_CAP,
+            min_support=2,
+        )
+        .join(p.select(F.col("id").alias("src"), "repo",
+                       F.col("path").alias("path_a")), "src")
+        .join(p.select(F.col("id").alias("dst"),
+                       F.col("path").alias("path_b")), "dst")
+        .select("repo", "path_a", "path_b", "support", "confidence")
+    )
+
+
+_CG_RULES_SQL = (
+    "WITH " + _CG_CTE + """,
+ok AS MATERIALIZED (
+  SELECT m.r, m.c, m.f FROM cg_mem m
+  JOIN cg_commit_ok k ON m.r = k.r AND m.c = k.c
+),
+pf AS MATERIALIZED (SELECT r, f, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM ok GROUP BY r, f),
+pairs AS MATERIALIZED (
+  SELECT a.r, a.f AS fa, b.f AS fb, CAST(COUNT(*) AS BIGINT) AS support
+  FROM ok a JOIN ok b ON a.r = b.r AND a.c = b.c AND a.f <> b.f
+  GROUP BY a.r, a.f, b.f
+  HAVING COUNT(*) >= 2
+)
+SELECT p1.repo, p1.path AS path_a, p2.path AS path_b, pr.support,
+       ROUND(pr.support * 1.0 / pf.n, 9) AS confidence
+FROM pairs pr
+JOIN pf ON pf.r = pr.r AND pf.f = pr.fa
+JOIN cg_paths p1 ON p1.r = pr.r AND p1.f = pr.fa
+JOIN cg_paths p2 ON p2.r = pr.r AND p2.f = pr.fb"""
+)
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repeated-bigram quality signal (text.repetition_stats)."""
     from sparkgraph.text import repetition_stats
@@ -3666,6 +3714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": _q_kmeans,
         "ppr_batch_bipartite": _q_ppr_batch,
         "codegraph_coupling": _q_codegraph_coupling,
+        "codegraph_cochange_rules": _q_codegraph_rules,
         # -- tail: green r04, unchanged; rotate back into the head in r06 --
         "fingerprint_documents": _q_fingerprint,
         "louvain_bipartite": _q_louvain,
@@ -3726,6 +3775,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _kmeans_sql(),
         "ppr_batch_bipartite": _ppr_batch_sql(),
         "codegraph_coupling": _CG_COUPLING_SQL,
+        "codegraph_cochange_rules": _CG_RULES_SQL,
         "scc_condensation_parts_affine": _SCC_CONDENSATION_SQL,
         "pagerank_bipartite": _pagerank_sql(PR_ITERS),
         "pagerank_tol_bipartite": _pagerank_conv_sql(PR_TOL_STEPS_SF001),

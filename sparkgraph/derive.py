@@ -100,6 +100,47 @@ def derive_code_edges(
     )
 
 
+def cochange_rules(
+    memberships: DataFrame, max_commit_files: int = 100, min_support: int = 2
+) -> DataFrame:
+    """Co-change association rules over commit history (Zimmermann et al.,
+    "Mining Version Histories to Guide Software Changes", ICSE 2004):
+    for each ORDERED file pair (src → dst), ``support`` = number of commits
+    touching both, ``confidence`` = support / commits touching src — "when
+    src changes, dst changes too X% of the time". Mega-commits above
+    ``max_commit_files`` are dropped first (same skew guard as
+    ``derive_cochange_edges``); pairs below ``min_support`` are pruned
+    AFTER counting, so confidence denominators are exact.
+
+    Scale shape: the commit self-join is the only quadratic construction
+    and it is capped per commit (≤ cap² pairs each); the per-file commit
+    counts broadcast-join back (bounded by |V|) and everything else is
+    map-side-combined aggregation.
+    """
+    sized = memberships.groupBy("commit").agg(F.count(F.lit(1)).alias("nf"))
+    ok = memberships.join(
+        sized.filter(F.col("nf") <= max_commit_files).select("commit"), "commit"
+    )
+    per_file = ok.groupBy("id").agg(F.count(F.lit(1)).alias("n_commits"))
+    a = ok.select("commit", F.col("id").alias("src"))
+    b = ok.select("commit", F.col("id").alias("dst"))
+    support = (
+        a.join(b, "commit")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return support.join(
+        per_file.withColumnRenamed("id", "src"), "src"
+    ).select(
+        "src",
+        "dst",
+        "support",
+        F.round(F.col("support") / F.col("n_commits"), 9).alias("confidence"),
+    )
+
+
 def coupling_metrics(import_edges: DataFrame, vertices: DataFrame) -> DataFrame:
     """Per-file afferent/efferent coupling over the DIRECTED import graph
     (Martin's stability metrics, "OO Design Quality Metrics" 1994):

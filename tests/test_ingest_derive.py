@@ -135,3 +135,40 @@ def test_coupling_metrics_match_simulation(spark):
         tot = want_ca + want_ce
         want_inst = 0.0 if tot == 0 else round(want_ce / tot, 9)
         assert math.isclose(g_inst, want_inst, abs_tol=1e-12)
+
+
+def test_cochange_rules_match_simulation(spark):
+    from sparkgraph.derive import cochange_rules
+
+    src, verts = _tables(spark)
+    mem = commit_memberships(src)
+    idmap = _id_to_file(verts)
+    got = {
+        (idmap[r.src], idmap[r.dst]): (r.support, r.confidence)
+        for r in cochange_rules(mem, max_commit_files=10, min_support=2).collect()
+    }
+    # independent simulation: commit c touches f iff c==0 or (f+c)%7<3;
+    # cap=10 drops commit 0 (all FPR files)
+    from collections import Counter
+    per_file, pair = Counter(), Counter()
+    for r in range(N_REPOS):
+        repo = f"org/project-{r:03d}"
+        for c in range(6):
+            members = [f for f in range(FPR) if c == 0 or (f + c) % 7 < 3]
+            if len(members) > 10:
+                continue
+            for f in members:
+                per_file[(repo, f)] += 1
+            for fa in members:
+                for fb in members:
+                    if fa != fb:
+                        pair[((repo, fa), (repo, fb))] += 1
+    want = {
+        (a, b): (s, round(s / per_file[a], 9))
+        for (a, b), s in pair.items()
+        if s >= 2
+    }
+    assert set(got) == set(want)
+    for k, (s, conf) in want.items():
+        assert got[k][0] == s
+        assert math.isclose(got[k][1], conf, abs_tol=1e-12)
