@@ -35,12 +35,14 @@ import __spark_entry__ as entrymod
 
 POWERLAW_EDGES = int(os.environ.get("BENCH_POWERLAW_EDGES", 2_000_000))
 POWERLAW_VERTS = int(os.environ.get("BENCH_POWERLAW_VERTS", 200_000))
-# Noise defence (this box varies up to ~5x run-to-run): every headline is
-# best-of-N with the plan REBUILT fresh each attempt — Spark 4.x reuses a
-# completed result for the SAME DataFrame object, so each fn() must (and
-# does) construct its plan from scratch; re-collecting a stored df would
-# time nothing.
-BENCH_REPEATS = int(os.environ.get("BENCH_REPEATS", 2))
+# Noise defence (this box varies up to ~5x run-to-run; the dominant mode is
+# multi-second first-touch page-fault stalls from the virtualized host, which
+# hit whichever attempt allocates fresh memory): every headline is best-of-N
+# with the plan REBUILT fresh each attempt — Spark 4.x reuses a completed
+# result for the SAME DataFrame object, so each fn() must (and does)
+# construct its plan from scratch; re-collecting a stored df would time
+# nothing. Best-of-3 because a single stall can poison two attempts in a row.
+BENCH_REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
 
 
 def main() -> None:
