@@ -6,9 +6,10 @@ the new engine's extras, shippable via spark-submit:
     python -m sparkgraph.cli pagerank --input edges.txt            # local
 
 Subcommands: pagerank | sssp | cc | scc | lpa | triangles | hits | kcore |
-closeness | katz | walks (first-order or node2vec --p/--q) | stats | ingest.
+closeness | katz | walks (first-order or node2vec --p/--q) | stats | ingest |
+coupling (Martin ca/ce/instability) | rules (co-change support/confidence).
 Input: an edge-list text file (reference format), a parquet edge table
-(src,dst[,weight]), or — for ``ingest`` — a sources table
+(src,dst[,weight]), or — for ``ingest``/``coupling``/``rules`` — a sources table
 (repo,path,commit,lang,content) from which the code graph is derived.
 
 Build the --py-files archive with ``scripts/package.sh`` (zips the package).
@@ -118,6 +119,16 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("--input", required=True, help="sources table (parquet)")
     ing.add_argument("--output", required=True, help="output dir for vertices/edges")
     ing.add_argument("--max-commit-files", type=int, default=100)
+    cp = sub.add_parser("coupling")
+    cp.add_argument("--master", default=None)
+    cp.add_argument("--input", required=True, help="sources table (parquet)")
+    cp.add_argument("--top", type=int, default=25)
+    ru = sub.add_parser("rules")
+    ru.add_argument("--master", default=None)
+    ru.add_argument("--input", required=True, help="sources table (parquet)")
+    ru.add_argument("--top", type=int, default=25)
+    ru.add_argument("--min-support", type=int, default=2)
+    ru.add_argument("--max-commit-files", type=int, default=100)
 
     args = p.parse_args(argv)
 
@@ -148,6 +159,45 @@ def main(argv: list[str] | None = None) -> int:
             edges.write.mode("overwrite").parquet(f"{args.output}/edges")
             print(json.dumps({"vertices": verts.count(), "edges": edges.count(),
                               "sha_mismatches": 0, "id_collisions": 0}))
+            return 0
+
+        if args.cmd in ("coupling", "rules"):
+            from sparkgraph.derive import (
+                cochange_rules,
+                coupling_metrics,
+                derive_import_edges,
+            )
+            from sparkgraph.ingest import commit_memberships, ingest_sources
+
+            src = spark.read.parquet(args.input)
+            verts = ingest_sources(src)
+            if args.cmd == "coupling":
+                rows = (
+                    coupling_metrics(derive_import_edges(verts), verts)
+                    .orderBy(F.desc("ca"), "repo", "path")
+                    .limit(args.top)
+                    .collect()
+                )
+                print(json.dumps([{"repo": r.repo, "path": r.path, "ca": r.ca,
+                                   "ce": r.ce, "instability": r.instability}
+                                  for r in rows]))
+            else:
+                named = (
+                    cochange_rules(commit_memberships(src),
+                                   args.max_commit_files, args.min_support)
+                    .join(verts.select(F.col("id").alias("src"), "repo",
+                                       F.col("path").alias("path_a")), "src")
+                    .join(verts.select(F.col("id").alias("dst"),
+                                       F.col("path").alias("path_b")), "dst")
+                    .orderBy(F.desc("confidence"), F.desc("support"),
+                             "path_a", "path_b")
+                    .limit(args.top)
+                    .collect()
+                )
+                print(json.dumps([{"repo": r.repo, "path_a": r.path_a,
+                                   "path_b": r.path_b, "support": r.support,
+                                   "confidence": r.confidence}
+                                  for r in named]))
             return 0
 
         g = _load_graph(spark, args)
