@@ -25,4 +25,18 @@ echo "== packaging smoke =="
 scripts/package.sh /tmp/sparkgraph_verify.zip >/dev/null
 python -m sparkgraph.cli pagerank --input tests/assets/graph_main.txt \
   --iterations 30 --top 3 --master 'local[4]'
+
+echo "== code-payload CLI smoke =="
+python - <<'PYEOF'
+from sparkgraph.session import get_spark
+from sparkgraph.io.synth import synthesize_sources
+spark = get_spark("smokegen", master="local[4]", shuffle_partitions=4)
+synthesize_sources(spark, n_repos=2, files_per_repo=12).write.mode(
+    "overwrite").parquet("/tmp/sparkgraph_verify_sources")
+spark.stop()
+PYEOF
+python -m sparkgraph.cli coupling --input /tmp/sparkgraph_verify_sources \
+  --top 3 --master 'local[4]'
+python -m sparkgraph.cli rules --input /tmp/sparkgraph_verify_sources \
+  --top 3 --max-commit-files 10 --master 'local[4]'
 echo "ALL OK"
