@@ -82,7 +82,9 @@ def connected_components(
                 "changed"
             ),
         )
-        new_state = truncate_lineage(new_state)
+        # lazy truncation: the changed-count is the superstep's single action
+        # (materializes the checkpoint as a side effect — one job, not two)
+        new_state = truncate_lineage(new_state, eager=False)
         changed = new_state.filter("changed").count()
         step += 1
         state = new_state

@@ -75,7 +75,8 @@ def longest_path_layers(
             F.greatest("layer", F.coalesce("mlayer", F.lit(-1))).alias("layer"),
             improved.alias("changed"),
         )
-        new_state = truncate_lineage(new_state)
+        # lazy: the changed-count materializes the checkpoint (one job)
+        new_state = truncate_lineage(new_state, eager=False)
         changed = new_state.filter("changed").count()
         step += 1
         state = new_state

@@ -132,7 +132,9 @@ def coreness(graph: Graph, max_iter: int = 100) -> PregelResult:
                 "id",
                 F.coalesce("h", "c").alias("c"),
                 (F.coalesce("h", "c") != F.col("c")).alias("chg"),
-            )
+            ),
+            eager=False,  # the changed-count materializes it; the frontier
+            # filter right after reads the same cached checkpoint
         )
         changed = new_state.filter("chg").count()
         frontier = new_state.filter("chg").select("id")

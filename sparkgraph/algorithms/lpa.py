@@ -69,7 +69,9 @@ def label_propagation(
             F.coalesce("new_label", "label").alias("label"),
             (F.coalesce("new_label", "label") != F.col("label")).alias("changed"),
         )
-        new_state = truncate_lineage(new_state)
+        # lazy truncation: the changed-count materializes the checkpoint —
+        # one job per superstep instead of checkpoint + count
+        new_state = truncate_lineage(new_state, eager=False)
         changed = new_state.filter("changed").count()
         step += 1
         state = new_state.drop("changed")

@@ -218,7 +218,12 @@ def ppr_batch(
     (seed-set expansion, related-files-for-these-k-files): per-seed loops
     re-pay the edge scan |seeds| times; the batch pays it once. Memory is
     the state size — for |seeds| beyond ~hundreds shard the seed list and
-    union results."""
+    union results.
+
+    NOTE: a seed id absent from the graph contributes an all-zero
+    distribution (its teleport predicate never matches) — no error is
+    raised, mirroring ``pagerank(reset_to=...)``; anti-join your seed list
+    against ``graph.vertices`` first if typo'd ids must be caught."""
     if not sources:
         raise ValueError("sources must be non-empty")
     spark = graph.spark

@@ -97,7 +97,10 @@ def sssp(
         if track_parents:
             sel.append(F.when(improved, F.col("mvia")).otherwise(F.col("parent")).alias("parent"))
         new_state = state.drop("changed").join(mins, "id", "left").select(*sel)
-        new_state = truncate_lineage(new_state)
+        # lazy truncation: the changed-count below is the superstep's one
+        # action — it materializes (and caches) the checkpointed state, so
+        # each superstep runs as ONE Spark job instead of checkpoint + count
+        new_state = truncate_lineage(new_state, eager=False)
         changed = new_state.filter("changed").count()
         step += 1
         state = new_state

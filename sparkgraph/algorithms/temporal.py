@@ -116,7 +116,8 @@ def temporal_earliest_arrival(
                 "id",
                 F.least("arrival", F.coalesce("ma", F.lit(_INF))).alias("arrival"),
                 improved.alias("changed"),
-            )
+            ),
+            eager=False,  # the changed-count below materializes it: one job
         )
         changed = new_state.filter("changed").count()
         step += 1

@@ -127,10 +127,13 @@ def random_walks(
         cur = picked.hint("shuffle_hash").join(adj, ["a_src", "a_idx"]).select(
             "walk_id", F.col("a_dst").alias("vertex"), F.col("a_ddeg").alias("deg")
         )
-        # eager checkpoint each hop: the returned trace unions every level, so
-        # an un-truncated level s would recompute joins 1..s — O(L²) work
+        # checkpoint each hop: the returned trace unions every level, so an
+        # un-truncated level s would recompute joins 1..s — O(L²) work.
+        # Lazy (eager=False): the plan is cut now, each level's RDD computes
+        # (and caches) exactly once at the terminal action — the whole walk
+        # is ONE Spark job instead of one per hop.
         if s % checkpoint_every == 0:
-            cur = truncate_lineage(cur)
+            cur = truncate_lineage(cur, eager=False)
         levels.append(cur.select("walk_id", F.lit(s).alias("step"), "vertex"))
 
     out = levels[0]
@@ -209,7 +212,7 @@ def weighted_random_walks(
             "walk_id", F.col("a_dst").alias("vertex"), F.col("a_ddeg").alias("deg")
         )
         if s % checkpoint_every == 0:
-            cur = truncate_lineage(cur)
+            cur = truncate_lineage(cur, eager=False)  # one job total, see random_walks
         levels.append(cur.select("walk_id", F.lit(s).alias("step"), "vertex"))
 
     out = levels[0]
@@ -449,7 +452,7 @@ def node2vec_walks(
         F.col("dst").alias("vertex"),
         F.col("wnext"),
     )
-    cur = truncate_lineage(cur)
+    cur = truncate_lineage(cur, eager=False)
     levels.append(cur.select("walk_id", F.lit(1).alias("step"), "vertex"))
 
     for s in range(2, walk_len + 1):
@@ -470,7 +473,7 @@ def node2vec_walks(
             F.col("a_wnext").alias("wnext"),
         )
         if s % checkpoint_every == 0:
-            cur = truncate_lineage(cur)
+            cur = truncate_lineage(cur, eager=False)  # one job total, see random_walks
         levels.append(cur.select("walk_id", F.lit(s).alias("step"), "vertex"))
 
     out = levels[0]

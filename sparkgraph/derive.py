@@ -116,6 +116,13 @@ def cochange_rules(
     and it is capped per commit (≤ cap² pairs each); the per-file commit
     counts broadcast-join back (bounded by |V|) and everything else is
     map-side-combined aggregation.
+
+    PRECONDITION: commit ids must be globally unique across the input
+    (true for ``commit_memberships`` over a single-remote sources table).
+    If the table mixes repos that can share commit SHAs (forks/mirrors) or
+    uses short ids, the self-join on ``commit`` alone would pair files
+    across repos — disambiguate the commit column (e.g. concat(repo,
+    commit)) before calling.
     """
     sized = memberships.groupBy("commit").agg(F.count(F.lit(1)).alias("nf"))
     ok = memberships.join(
@@ -148,6 +155,13 @@ def coupling_metrics(import_edges: DataFrame, vertices: DataFrame) -> DataFrame:
     (distinct files this one imports), ``instability`` = ce/(ca+ce) ∈ [0,1]
     rounded to 9 places. Files with no import edges at all score 0.0
     (maximally stable — nothing depends on or destabilizes them).
+
+    PRECONDITION: ``import_edges`` must be a DEDUPLICATED (src, dst) edge
+    list — ``derive_import_edges`` output satisfies this (it ``.distinct()``s).
+    The counts are ``count(*)`` over that list, so a multigraph input (e.g.
+    ``derive_code_edges`` filtered by kind, which keeps parallel edges
+    across kinds) would inflate ca/ce; run ``.select("src",
+    "dst").distinct()`` first in that case.
 
     Scale shape: two map-side-combined aggregations over the distinct edge
     list plus two left joins back onto V — nothing wider than |E| shuffles,

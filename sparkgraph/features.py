@@ -87,7 +87,9 @@ def feature_propagation(
         x = truncate_lineage(
             msgs.unionByName(x)  # self-inclusive
             .groupBy("id", "pos")
-            .agg(F.sum("num").alias("num"), F.sum("w").alias("w"))
+            .agg(F.sum("num").alias("num"), F.sum("w").alias("w")),
+            eager=False,  # fixed-round loop with no per-round action: the
+            # whole propagation runs as ONE job at the terminal action
         )
     if raw:
         return x.select("id", "pos", "num", "w")

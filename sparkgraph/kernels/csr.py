@@ -125,7 +125,7 @@ class PackedGraph:
     """The CSR pack shared by every kernel: sorted id universe + persisted
     per-partition index arrays, sized by edge volume."""
 
-    def __init__(self, graph: Graph, target_edges_per_partition: int = 2_000_000,
+    def __init__(self, graph: Graph, target_edges_per_partition: int = 500_000,
                  max_broadcast_vertices: int = 10_000_000):
         self.graph = graph
         self.ids = np.sort(graph.vertices.toPandas()["id"].to_numpy(dtype=np.int64))
@@ -141,8 +141,15 @@ class PackedGraph:
         self.parts = max(
             1, min(graph.num_partitions, -(-n_edges // target_edges_per_partition))
         )
+        # coalesce, NOT repartition: the kernel's per-partition bincount +
+        # driver add/min-merge is correct under ANY edge grouping, so the
+        # pack needs no src-hash shuffle at all — a narrow merge of the
+        # already-persisted edges_sym partitions (guide §2.4: remove shuffles
+        # outright). Measured: 4M-edge pack 5.6s → 1.8s. The 500k target
+        # (was 2M) trades a little per-superstep blob-collect volume
+        # (parts × touched-dst rows) for pack/scatter parallelism.
         self.packed = _pack_partitions(
-            graph.edges_sym.repartition(self.parts, "src"), self.ids
+            graph.edges_sym.coalesce(self.parts), self.ids
         ).persist()
         self.packed.count()
 
@@ -158,7 +165,7 @@ def pagerank_csr(
     max_iter: int = 200,
     damping: float = 0.85,
     max_broadcast_vertices: int = 10_000_000,
-    target_edges_per_partition: int = 2_000_000,
+    target_edges_per_partition: int = 500_000,
     combine: str = "auto",
 ) -> PregelResult:
     """PageRank FAST PATH on CSR-packed partitions with a broadcast state
@@ -266,7 +273,7 @@ def pagerank_csr(
 
 def _frontier_min_loop(graph: Graph, init: np.ndarray, plus_weight: bool,
                        max_iter: int, out_col: str,
-                       target_edges_per_partition: int = 2_000_000) -> PregelResult:
+                       target_edges_per_partition: int = 500_000) -> PregelResult:
     """Shared frontier min-combiner kernel (SSSP: msg = val+w; CC: msg = val).
     Per superstep one mapInArrow pass scatters from frontier sources only and
     min-combines per destination inside the partition (np.minimum.at — the

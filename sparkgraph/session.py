@@ -57,7 +57,34 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Shuffle writer path (guide §2.2): below the bypass-merge threshold
+        # Spark's BypassMergeSortShuffleWriter opens one file PER REDUCE
+        # PARTITION per map task (M·R tiny file creates per shuffle — the
+        # iterative loops pay that every superstep). Forcing the serialized
+        # sort writer emits one data+index file per map task instead; a real
+        # cluster with R ≥ 200 reduce partitions takes this code path anyway,
+        # so this only aligns small-R (local / coalesced) shuffles with the
+        # at-scale writer. Measured: 1.17M-row shuffle 0.53s → 0.30s.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
     )
+    # Shuffle/spill scratch space (guide §2.1: check local disk bandwidth):
+    # production clusters point spark.local.dir at fast local NVMe; the
+    # sandbox twin of that is the RAM-backed tmpfs. Applied only in local
+    # mode (a cluster's nodes configure their own dirs), only when the tmpfs
+    # has ≥ 8 GiB free (headline shuffles at bench scale are ≤ a few hundred
+    # MB; ContextCleaner removes shuffle files as dependencies are GC'd),
+    # and overridable via SPARK_GRAFT_LOCAL_DIR (set it to '' to disable).
+    if master.startswith("local"):
+        local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+        if local_dir is None and os.path.isdir("/dev/shm"):
+            try:
+                st = os.statvfs("/dev/shm")
+                if st.f_bavail * st.f_frsize >= 8 * 1024**3:
+                    local_dir = "/dev/shm/sparkgraph-local"
+            except OSError:
+                local_dir = None
+        if local_dir:
+            builder = builder.config("spark.local.dir", local_dir)
     # SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" — ad-hoc conf injection for the
     # evidence scripts (e.g. spark.io.compression.codec=zstd halves the
     # on-disk shuffle footprint of id-pair-heavy single-box runs)

@@ -255,15 +255,16 @@ def containment_pairs(
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = 32
 ) -> DataFrame:
-    """(id, sig: array<long>) — sig[i] = min over shingles of xxhash64(shingle, i)."""
-    hashed = sh.select(
-        "id",
-        F.array(
-            *[F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_hashes)]
-        ).alias("hs"),
-    )
-    aggs = [F.min(F.col("hs")[i]).alias(f"h{i}") for i in range(num_hashes)]
-    return hashed.groupBy("id").agg(*aggs).select(
+    """(id, sig: array<long>) — sig[i] = min over shingles of xxhash64(shingle, i).
+
+    The per-salt hash feeds its min aggregate directly — no intermediate
+    array<long> materialization per shingle row (same values: min over rows
+    of xxhash64(shingle, i) ≡ min over the old array's slot i)."""
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs).select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
 
@@ -276,6 +277,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     max_bucket_size: int = 10_000,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs ``(a, b, siga, sigb)`` (a < b) via banded MinHash-LSH.
 
@@ -286,10 +288,14 @@ def minhash_lsh_candidates(
     > max_bucket_size docs (a degenerate near-constant corpus) is dropped
     before it can generate a quadratic pair set — run exact dedup (sha256
     groupBy) first so such buckets are true pathologies, not data.
+
+    ``sh``: optional precomputed (ideally persisted) shingle table, so a
+    caller that needs shingles again (exact verification) tokenizes once.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sh = shingles(df, id_col, text_col, n)
+    if sh is None:
+        sh = shingles(df, id_col, text_col, n)
     sig = minhash_signatures(sh, num_hashes)
 
     band_keys = sig.select(
@@ -309,6 +315,11 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("id", "sig", "bk.band", "bk.bucket")
+    # persisted: scanned three times below (bucket sizes + both join sides);
+    # without it each scan re-runs the whole shingle→minhash pipeline.
+    # Left cached for the lazy result plan (LRU-evictable; CacheManager
+    # dedupes repeat calls by plan equality — same pattern as walks.adj2)
+    band_keys = band_keys.persist()
     sizes = band_keys.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
     band_keys = band_keys.join(
         F.broadcast(sizes.filter(F.col("bsz") > max_bucket_size)),
@@ -372,10 +383,13 @@ def minhash_lsh_neardup_pairs(
     LSH positives are filtered exactly; false negatives follow the S-curve
     P(miss) = (1 − s^r)^bands — negligible above the threshold knee.
     """
+    # ONE shingle pass feeds both the MinHash signatures and the exact
+    # verification arrays (was tokenized twice); persisted because the
+    # banding and the verify arm both scan it
+    sh = shingles(df, id_col, text_col, n).persist()
     cand = minhash_lsh_candidates(
-        df, id_col, text_col, n, num_hashes, bands, max_bucket_size
+        df, id_col, text_col, n, num_hashes, bands, max_bucket_size, sh=sh
     ).select("a", "b")
-    sh = shingles(df, id_col, text_col, n)
     # shingle arrays only for docs that appear in some candidate pair
     cand_docs = (
         cand.select(F.col("a").alias("id"))
@@ -491,6 +505,9 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.bucket")
+    # persisted: scanned by the bucket-size agg and both self-join sides —
+    # otherwise each scan recomputes the caller's full simhash pipeline
+    bk = bk.persist()
     sizes = bk.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
     bk = bk.join(
         F.broadcast(sizes.filter(F.col("bsz") > max_bucket_size)),
