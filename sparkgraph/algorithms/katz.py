@@ -53,14 +53,15 @@ def katz_centrality(
             "dst", F.col("contrib").alias("msg")
         )
         sums = msgs.groupBy(F.col("dst").alias("id")).agg(F.sum("msg").alias("msum"))
-        state = truncate_lineage(
-            state.join(sums, "id", "left").select(
-                "id",
-                (F.lit(beta) + F.lit(alpha) * F.coalesce("msum", F.lit(0.0))).alias(
-                    "value"
-                ),
+        state = state.join(sums, "id", "left").select(
+            "id",
+            (F.lit(beta) + F.lit(alpha) * F.coalesce("msum", F.lit(0.0))).alias(
+                "value"
             ),
-            eager=eager_checkpoint,
         )
+        # lazy runs truncate every second superstep (see pagerank: same
+        # cadence measurement); eager keeps per-superstep truncation
+        if eager_checkpoint or step % 2 == 0 or step >= iterations:
+            state = truncate_lineage(state, eager=eager_checkpoint)
         loop.step_done(state, step)
     return loop.finish(state, step, True, result=state.select("id", "value"))

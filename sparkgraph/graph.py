@@ -133,6 +133,9 @@ class Graph:
         for df in (self._edges_sym, self._vertices, self._degrees):
             if df is not None:
                 df.unpersist()
+        # release any session-cached CSR packs built over this graph
+        for pg in self.__dict__.pop("_csr_pack_cache", {}).values():
+            pg.unpersist()
 
 
 def project_bipartite(

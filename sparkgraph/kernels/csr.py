@@ -157,6 +157,26 @@ class PackedGraph:
         self.packed.unpersist()
 
 
+def packed_graph(graph: Graph, target_edges_per_partition: int = 500_000,
+                 max_broadcast_vertices: int = 10_000_000) -> PackedGraph:
+    """Session-cached CSR pack for ``graph``: the pack is a derived index of
+    the (already persisted) symmetrized edge view — exactly the class of
+    reuse ``Graph.edges_sym``/``Graph.degrees`` already provide for the
+    relational algorithms, extended to the kernel twins. Repeat kernel calls
+    on the same Graph object (pagerank_csr then sssp_csr, or repeated
+    invocations in one session) skip the re-pack; the cache dies with the
+    Graph object / session and is keyed on the pack parameters, never on
+    input paths — nothing survives across runs. ``Graph.unpersist()``
+    releases the cached packs too."""
+    cache = graph.__dict__.setdefault("_csr_pack_cache", {})
+    key = (target_edges_per_partition, max_broadcast_vertices)
+    pg = cache.get(key)
+    if pg is None:
+        pg = PackedGraph(graph, target_edges_per_partition, max_broadcast_vertices)
+        cache[key] = pg
+    return pg
+
+
 def pagerank_csr(
     graph: Graph,
     mode: str = "reference",
@@ -179,7 +199,7 @@ def pagerank_csr(
     spark = graph.spark
     sc = spark.sparkContext
 
-    pg = PackedGraph(graph, target_edges_per_partition, max_broadcast_vertices)
+    pg = packed_graph(graph, target_edges_per_partition, max_broadcast_vertices)
     ids, n, parts, packed = pg.ids, pg.n, pg.parts, pg.packed
     if combine == "auto":
         # driver-side combine skips the per-superstep shuffle stage; safe while
@@ -260,7 +280,7 @@ def pagerank_csr(
             converged = True
             break
 
-    packed.unpersist()
+    # the pack stays cached on the Graph for the session (see packed_graph)
     if mode == "reference":
         converged = True
     import pandas as pd
@@ -284,7 +304,7 @@ def _frontier_min_loop(graph: Graph, init: np.ndarray, plus_weight: bool,
 
     spark = graph.spark
     sc = spark.sparkContext
-    pg = PackedGraph(graph, target_edges_per_partition)
+    pg = packed_graph(graph, target_edges_per_partition)
     ids, n = pg.ids, pg.n
 
     val = init
@@ -329,7 +349,7 @@ def _frontier_min_loop(graph: Graph, init: np.ndarray, plus_weight: bool,
             )
         )
 
-    pg.unpersist()
+    # the pack stays cached on the Graph for the session (see packed_graph)
     converged = not frontier.any()  # empty frontier = true fixpoint
     if not converged:
         warn_unconverged(f"csr_frontier_min[{out_col}]", step, max_iter)

@@ -227,6 +227,60 @@ def _cosine_pairs_arrow(
     )
 
 
+# pairs×vectors can be attached two ways (guide §8's "attach" discussion):
+# join the vector table to every pair row (the 100 TB shape — vectors move
+# per pair), or, when the whole corpus fits an executor broadcast, ship the
+# corpus ONCE and send only (a, b) id pairs through the Python boundary.
+# At 1.7 M candidate pairs × dim 64 the join shape moves ~850 MB of vector
+# payload into the kernel; the broadcast shape moves ~26 MB of ids + one
+# 1 MB matrix. Same float sequence, same bits.
+_BCAST_CORPUS_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _cosine_pairs_bcast(
+    cand: DataFrame, df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(a, b, cosine) for candidate id pairs, with the corpus broadcast as a
+    dense float64 matrix — bit-identical to ``_cosine_pairs_arrow`` (same
+    element-cast + left-fold sequence on the same values)."""
+    import numpy as np
+    import pyarrow as pa
+
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    M = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+    bc = df.sparkSession.sparkContext.broadcast((ids, M))
+
+    def kernel(batches):
+        ids_l, mat = bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            a = batch.column("a").to_numpy(zero_copy_only=False)
+            b = batch.column("b").to_numpy(zero_copy_only=False)
+            A = mat[np.searchsorted(ids_l, a)]
+            B = mat[np.searchsorted(ids_l, b)]
+            n = batch.num_rows
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for i in range(A.shape[1]):
+                x = A[:, i]
+                y = B[:, i]
+                dot = dot + x * y
+                na = na + x * x
+                nb = nb + y * y
+            cos = dot / (np.sqrt(na) * np.sqrt(nb))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("a"), batch.column("b"), pa.array(cos, type=pa.float64())],
+                names=["a", "b", "cosine"],
+            )
+
+    return cand.select("a", "b").mapInArrow(kernel, "a long, b long, cosine double")
+
+
 def hyperplane_banded_candidates(
     df: DataFrame, dim: int, n_planes: int = 16, bands: int = 8,
     seeds: tuple[int, ...] = (7,), id_col: str = "vec_id",
@@ -252,8 +306,10 @@ def hyperplane_banded_candidates(
     # HOF signature expression.
     planes = [_plane_components(spark, dim, n_planes, s) for s in seeds]
     sigs = _signatures_arrow(df, planes, id_col, vec_col)
+    sig_cols = [f"sig{k}" for k in range(len(seeds))]
     keyed = sigs.select(
         F.col(id_col).alias("id"),
+        *sig_cols,
         F.explode(
             F.array(
                 *[
@@ -269,16 +325,70 @@ def hyperplane_banded_candidates(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "bb.seed", "bb.band", "bb.bucket")
-    # persisted: scanned by the bucket-size agg and both self-join sides
-    keyed = keyed.persist()
+    ).select("id", *sig_cols, "bb.seed", "bb.band", "bb.bucket")
+    # Pin the join-key partitioning at a FIXED width before persisting:
+    # the band-key table is tiny (|corpus| × seeds × bands rows) so AQE
+    # coalesces its exchange to one partition — but the within-bucket
+    # self-join below EXPLODES it ~|bucket|× and would then run as a single
+    # serial task (measured: a 5 s one-task stage at sf0.1). An explicit
+    # REPARTITION_BY_NUM is exempt from AQE coalescing, and both self-join
+    # sides read the persisted layout with no further exchange.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    keyed = keyed.repartition(n_part, "seed", "band", "bucket").persist()
     sizes = keyed.groupBy("seed", "band", "bucket").agg(
         F.count(F.lit(1)).alias("bsz")
     )
+    oversized = sizes.filter(F.col("bsz") > max_bucket_size)
+    dropped = oversized.limit(1).count() > 0
+
+    def band_eq(k2: int, b2: int):
+        def bv(side):
+            return F.shiftright(F.col(f"{side}sig{k2}"), b2 * r).bitwiseAND(
+                F.lit(mask)
+            )
+
+        return bv("a") == bv("b")
+
+    if not dropped:
+        # Emit-at-first-matching-band dedup (guide §2.4: remove the shuffle
+        # outright): a pair sharing m bands appears in m bucket joins; keep
+        # only the row whose (seed, band) is the pair's FIRST match —
+        # computable from the two signature vectors carried on the row, so
+        # the output needs NO distinct (no 2nd shuffle over the exploded
+        # pair set). Valid only while no bucket was size-dropped: a dropped
+        # bucket could BE the first match, suppressing a pair a later band
+        # legitimately finds.
+        lhs = keyed.select(
+            "seed", "band", "bucket", F.col("id").alias("a"),
+            *[F.col(f"sig{k}").alias(f"asig{k}") for k in range(len(seeds))],
+        )
+        rhs = keyed.select(
+            "seed", "band", "bucket", F.col("id").alias("b"),
+            *[F.col(f"sig{k}").alias(f"bsig{k}") for k in range(len(seeds))],
+        )
+        big = len(seeds) * bands
+        first_idx = F.least(
+            *[
+                F.when(band_eq(k2, b2), F.lit(k2 * bands + b2)).otherwise(
+                    F.lit(big)
+                )
+                for k2 in range(len(seeds))
+                for b2 in range(bands)
+            ]
+        )
+        seed_idx = F.lit(0)
+        for k2, s in enumerate(seeds):
+            seed_idx = F.when(F.col("seed") == s, F.lit(k2)).otherwise(seed_idx)
+        row_idx = seed_idx * bands + F.col("band")
+        return (
+            lhs.join(rhs, ["seed", "band", "bucket"])
+            .filter((F.col("a") < F.col("b")) & (first_idx == row_idx))
+            .select("a", "b")
+        )
+
+    # degenerate-corpus fallback: drop oversized buckets, dedup by distinct
     keyed = keyed.join(
-        F.broadcast(sizes.filter(F.col("bsz") > max_bucket_size)),
-        ["seed", "band", "bucket"],
-        "left_anti",
+        F.broadcast(oversized), ["seed", "band", "bucket"], "left_anti"
     )
     lhs = keyed.select("seed", "band", "bucket", F.col("id").alias("a"))
     rhs = keyed.select("seed", "band", "bucket", F.col("id").alias("b"))
@@ -305,12 +415,17 @@ def embedding_near_dup_pairs_lsh(
     cand = hyperplane_banded_candidates(
         df, dim, n_planes, bands, seeds, id_col, vec_col, max_bucket_size
     )
-    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
-    pairs = cand.join(va, "a").join(vb, "b")
     # exact verification in the Arrow kernel (bit-identical, see block
-    # comment); round + threshold stay in the JVM
-    scored = _cosine_pairs_arrow(pairs, "a", "b", "_va", "_vb")
+    # comment); round + threshold stay in the JVM. Small corpora take the
+    # broadcast-matrix attach (ids only cross the Python boundary); larger
+    # ones keep the join attach — the 100 TB shape.
+    if df.count() * dim * 8 <= _BCAST_CORPUS_MAX_BYTES:
+        scored = _cosine_pairs_bcast(cand, df, id_col, vec_col)
+    else:
+        va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+        vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+        pairs = cand.join(va, "a").join(vb, "b")
+        scored = _cosine_pairs_arrow(pairs, "a", "b", "_va", "_vb")
     return (
         scored.select("a", "b", F.round("cosine", 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)

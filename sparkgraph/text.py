@@ -506,14 +506,44 @@ def simhash_pairs(
         ).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.bucket")
     # persisted: scanned by the bucket-size agg and both self-join sides —
-    # otherwise each scan recomputes the caller's full simhash pipeline
-    bk = bk.persist()
+    # otherwise each scan recomputes the caller's full simhash pipeline.
+    # The explicit REPARTITION_BY_NUM pins the self-join's parallelism: the
+    # band-key table is tiny, so AQE would coalesce it to one partition and
+    # the bucket join (which explodes ~|bucket|× per band) would run as a
+    # single serial task (see similarity.hyperplane_banded_candidates).
+    n_part = int(sig.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    bk = bk.repartition(n_part, "band", "bucket").persist()
     sizes = bk.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
-    bk = bk.join(
-        F.broadcast(sizes.filter(F.col("bsz") > max_bucket_size)),
-        ["band", "bucket"],
-        "left_anti",
-    )
+    oversized = sizes.filter(F.col("bsz") > max_bucket_size)
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    if oversized.limit(1).count() == 0:
+        # Emit-at-first-matching-band dedup (guide §2.4: removes the
+        # distinct's shuffle over the exploded pair set): a pair appears in
+        # one join row per matching band; keep only the row whose band is
+        # the pair's FIRST match — both signatures are on the row, so the
+        # check is pure bit math. Valid only while no bucket was dropped
+        # (a dropped bucket could be the first match and would suppress the
+        # pair a later band legitimately finds).
+        lhs = bk.select("band", "bucket", F.col("id").alias("a"), F.col("simhash").alias("sa"))
+        rhs = bk.select("band", "bucket", F.col("id").alias("b"), F.col("simhash").alias("sb"))
+
+        def beq(b2: int):
+            return (
+                F.shiftright("sa", b2 * r).bitwiseAND(F.lit(mask))
+                == F.shiftright("sb", b2 * r).bitwiseAND(F.lit(mask))
+            )
+
+        first_band = F.least(
+            *[F.when(beq(b2), F.lit(b2)).otherwise(F.lit(bands)) for b2 in range(bands)]
+        )
+        return (
+            lhs.join(rhs, ["band", "bucket"])
+            .filter((F.col("a") < F.col("b")) & (first_band == F.col("band")))
+            .select("a", "b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+        )
+    # degenerate-corpus fallback: drop oversized buckets, dedup by distinct
+    bk = bk.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
     lhs = bk.select("band", "bucket", F.col("id").alias("a"), F.col("simhash").alias("sa"))
     rhs = bk.select("band", "bucket", F.col("id").alias("b"), F.col("simhash").alias("sb"))
     cand = (
@@ -522,7 +552,6 @@ def simhash_pairs(
         .select("a", "b", "sa", "sb")
         .distinct()
     )
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (
         cand.select("a", "b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
