@@ -202,9 +202,21 @@ def pagerank_csr(
     pg = packed_graph(graph, target_edges_per_partition, max_broadcast_vertices)
     ids, n, parts, packed = pg.ids, pg.n, pg.parts, pg.packed
     if combine == "auto":
-        # driver-side combine skips the per-superstep shuffle stage; safe while
-        # the worst-case partial volume (parts × n rows) stays small
-        combine = "driver" if parts * n <= 20_000_000 else "shuffle"
+        # driver-side combine skips the per-superstep shuffle stage; sensible
+        # while one dense partial per task stays collect-friendly (the loop
+        # partitioning below bounds total volume to ~4M (idx, value) entries)
+        combine = "driver" if n <= 2_000_000 else "shuffle"
+    # Decouple PACK parallelism from LOOP parallelism: packing wants many
+    # partitions (parallel Arrow conversion), the driver combine wants few
+    # (per-superstep collect volume is loop_parts × touched ≤ loop_parts × n
+    # entries — each task now emits ONE accumulated partial). coalesce() is
+    # a narrow merge of the persisted blob rows, so the pack stays wide and
+    # cached while the loop reads it at bounded width.
+    if combine == "driver":
+        loop_parts = max(1, min(parts, 4_000_000 // max(n, 1)))
+    else:
+        loop_parts = parts
+    run_packed = packed if loop_parts >= parts else packed.coalesce(loop_parts)
 
 
     # degree on the symmetrized multigraph, as a dense vector (Arrow path)
@@ -242,25 +254,31 @@ def pagerank_csr(
                 )
 
         def scatter_gather_blob(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            # accumulate across every blob row in the task's partition and
+            # emit ONE partial — collect volume is loop_parts × touched, not
+            # blob-rows × touched (coalesced tasks hold several blob rows)
             contrib = bc.value
+            acc = None
             for b in batches:
                 src_idx = np.frombuffer(b.column("src_idx")[0].as_py(), dtype=np.int64)
                 dst_idx = np.frombuffer(b.column("dst_idx")[0].as_py(), dtype=np.int64)
-                sums = np.bincount(dst_idx, weights=contrib[src_idx], minlength=0)
-                touched = np.nonzero(sums)[0]
-                yield _blob_batch(touched, sums[touched])
+                sums = np.bincount(dst_idx, weights=contrib[src_idx], minlength=len(contrib))
+                acc = sums if acc is None else acc + sums
+            if acc is not None:
+                touched = np.nonzero(acc)[0]
+                yield _blob_batch(touched, acc[touched])
 
         if combine == "shuffle":
             # distributed per-dst combine; the driver sees ≤ V unique idx,
             # packed into one blob row per post-shuffle partition
-            partials = packed.mapInArrow(
+            partials = run_packed.mapInArrow(
                 scatter_gather, "idx long, partial double"
             ).groupBy("idx").agg(F.sum("partial").alias("partial"))
             rows = _collect_blobs(_pack_partials(partials))
         else:
-            # one blob row per edge partition; driver add-merges ≤ parts blobs
+            # one blob row per loop partition; driver add-merges ≤ loop_parts
             rows = _collect_blobs(
-                packed.mapInArrow(scatter_gather_blob, _BLOB_SCHEMA)
+                run_packed.mapInArrow(scatter_gather_blob, _BLOB_SCHEMA)
             )
         bc.destroy()
         gathered = np.zeros(n)
@@ -306,6 +324,12 @@ def _frontier_min_loop(graph: Graph, init: np.ndarray, plus_weight: bool,
     sc = spark.sparkContext
     pg = packed_graph(graph, target_edges_per_partition)
     ids, n = pg.ids, pg.n
+    # bounded-collect loop partitioning (see pagerank_csr): one accumulated
+    # partial per task, ≤ ~4M (idx, value) entries collected per superstep
+    loop_parts = max(1, min(pg.parts, 4_000_000 // max(n, 1)))
+    run_packed = (
+        pg.packed if loop_parts >= pg.parts else pg.packed.coalesce(loop_parts)
+    )
 
     val = init
     frontier = np.isfinite(val) if plus_weight else np.ones(n, dtype=bool)
@@ -316,7 +340,10 @@ def _frontier_min_loop(graph: Graph, init: np.ndarray, plus_weight: bool,
         bc = sc.broadcast((val, frontier))
 
         def scatter_min(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            # min-accumulate across every blob row in the task's partition,
+            # emit ONE partial (frontier-bounded volume per task)
             v, fr = bc.value
+            mins = None
             for b in batches:
                 src_idx = np.frombuffer(b.column("src_idx")[0].as_py(), dtype=np.int64)
                 dst_idx = np.frombuffer(b.column("dst_idx")[0].as_py(), dtype=np.int64)
@@ -329,12 +356,14 @@ def _frontier_min_loop(graph: Graph, init: np.ndarray, plus_weight: bool,
                     if plus_weight
                     else 0.0
                 )
-                mins = np.full(int(d.max()) + 1, np.inf)
+                if mins is None:
+                    mins = np.full(len(v), np.inf)
                 np.minimum.at(mins, d, msg)
+            if mins is not None:
                 touched = np.nonzero(np.isfinite(mins))[0]
                 yield _blob_batch(touched, mins[touched])
 
-        rows = _collect_blobs(pg.packed.mapInArrow(scatter_min, _BLOB_SCHEMA))
+        rows = _collect_blobs(run_packed.mapInArrow(scatter_min, _BLOB_SCHEMA))
         bc.destroy()
         new_val = val.copy()
         _merge_blobs(rows, new_val, np.minimum)
