@@ -41,7 +41,8 @@ def densest_subgraph(
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        deg = truncate_lineage(deg)
+        # lazy: the count materializes the checkpoint (one job, not two)
+        deg = truncate_lineage(deg, eager=False)
         n = deg.count()
         if n == 0:
             converged = True

@@ -59,17 +59,20 @@ def hits(edges: DataFrame, iterations: int = 10) -> PregelResult:
         s2 = s1.join(hub_sum, "id", "left").select(
             "id", F.coalesce("hub_raw", F.lit(0.0)).alias("hub"), "auth"
         )
+        # truncate BEFORE the norm collect: the agg then materializes (and
+        # caches) the superstep's joins once, and the normalized state is a
+        # plain projection over the cached checkpoint — previously the agg
+        # and the eager truncation each ran the full join pipeline (2×)
+        s2 = truncate_lineage(s2, eager=False)
         sums = s2.agg(
             F.sum("hub").alias("sh"), F.sum("auth").alias("sa")
         ).collect()[0]
         sh = sums["sh"] or 0.0
         sa = sums["sa"] or 0.0
-        state = truncate_lineage(
-            s2.select(
-                "id",
-                (F.col("hub") / F.lit(sh)).alias("hub") if sh else F.col("hub"),
-                (F.col("auth") / F.lit(sa)).alias("auth") if sa else F.col("auth"),
-            )
+        state = s2.select(
+            "id",
+            (F.col("hub") / F.lit(sh)).alias("hub") if sh else F.col("hub"),
+            (F.col("auth") / F.lit(sa)).alias("auth") if sa else F.col("auth"),
         )
         loop.step_done(state, step)
 

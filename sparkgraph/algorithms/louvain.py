@@ -130,7 +130,8 @@ def _move_phase(
         new_labels = truncate_lineage(
             labels.select("id", F.col("label").alias("old"))
             .join(best.select("id", (-F.col("b.nc")).alias("label")), "id", "left")
-            .select("id", F.coalesce("label", "old").alias("label"))
+            .select("id", F.coalesce("label", "old").alias("label")),
+            eager=False,  # the n_moved count materializes it — one job
         )
         n_moved = (
             new_labels.alias("n")

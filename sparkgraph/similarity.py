@@ -3,11 +3,17 @@
 Two paths (SURVEY.md §2C added surface):
   * ``cosine_brute`` / ``cosine_topk`` — exact: per-row cosine against a
     broadcast query vector, computed with JVM higher-order functions
-    (``zip_with`` + ``aggregate`` in double precision — no Python, no UDF).
+    (``zip_with`` + ``aggregate`` in double precision).
   * ``lsh_bucketed_topk`` — scale path: random-hyperplane LSH signatures
     bucket the corpus; only the query's bucket (and optionally its Hamming-1
     neighbors) is scanned. Hyperplanes are derived deterministically from a
     seed via xxhash64, so signatures are reproducible with no stored model.
+
+The HOT paths (banded candidate generation and pair verification) run as
+``mapInArrow`` numpy kernels that replay the JVM float64 operation sequence
+bit-exactly — the HOF expressions have no codegen and evaluate interpreted
+per row, ~200× slower (see the Arrow fast-path block comment below); the
+single-query/top-k paths keep the pure-JVM expressions.
 """
 
 from __future__ import annotations
